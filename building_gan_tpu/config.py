@@ -1,0 +1,209 @@
+"""Configuration for the TPU-native Building-GAN framework.
+
+Mirrors the hyperparameter surface of the reference implementation
+(`building_gan/src/config.py:9-157`) — same field names, same defaults — while
+adding the TPU-specific knobs the reference has no counterpart for (static-shape
+packing budgets, mesh layout, dtype policy, quirk parity flags).
+
+The reference exposes configuration as a class-attribute mixin
+(ProgramMap + DataConfiguration + ModelConfiguration -> Configuration).  Here it
+is a single flat dataclass: explicit, hashable where needed, serializable via
+``to_dict`` for experiment logging (reference `config.py:119-135`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Program map (reference config.py:9-30)
+# ---------------------------------------------------------------------------
+
+VOID_OLD = -1  # legacy label remapped to VOID during preprocessing
+
+LOBBY_CORRIDOR = 0
+RESTROOM = 1
+STAIRS = 2
+ELEVATOR = 3
+OFFICE = 4
+MECHANICAL_ROOM = 5
+VOID = 6
+
+COLORS: Dict[int, str] = {
+    LOBBY_CORRIDOR: "brown",
+    RESTROOM: "red",
+    STAIRS: "yellow",
+    ELEVATOR: "green",
+    OFFICE: "blue",
+    MECHANICAL_ROOM: "orange",
+    VOID: "gray",
+}
+
+PROGRAM_NAMES: Dict[int, str] = {
+    LOBBY_CORRIDOR: "LOBBY_CORRIDOR",
+    RESTROOM: "RESTROOM",
+    STAIRS: "STAIRS",
+    ELEVATOR: "ELEVATOR",
+    OFFICE: "OFFICE",
+    MECHANICAL_ROOM: "MECHANICAL_ROOM",
+    VOID: "VOID",
+}
+
+NUM_CLASSES = len(COLORS)  # 7
+
+
+def _default_data_root() -> str:
+    return os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "data"))
+
+
+@dataclasses.dataclass
+class Configuration:
+    """All knobs for data, model, and training.
+
+    Field names follow the reference (`config.py`) so that a user of the
+    reference can map their run configuration 1:1.
+    """
+
+    # --- ProgramMap (reference config.py:9-30) ---
+    NUM_CLASSES: int = NUM_CLASSES
+    VOID: int = VOID
+    VOID_OLD: int = VOID_OLD
+
+    # --- DataConfiguration (reference config.py:33-48) ---
+    DATA_PATH: str = dataclasses.field(
+        default_factory=lambda: os.path.join(_default_data_root(), "6types-raw_data")
+    )
+    SAVE_DATA_PATH: str = dataclasses.field(
+        default_factory=lambda: os.path.join(_default_data_root(), "6types-processed_data")
+    )
+    NORMALIZATION_FACTOR_FLOOR_LEVEL: float = 10.0
+    NORMALIZATION_FACTOR_DIMENSION: float = 11.0
+    NORMALIZATION_FACTOR_LOCATION: float = 11.0
+    NORMALIZATION_FACTOR_COORDINATE: float = 42.0
+    NORMALIZATION_FACTOR_SITE: float = 1600.0
+    LOCAL_DATA_SUFFIX: str = "_local.npz"
+    VOXEL_DATA_SUFFIX: str = "_voxel.npz"
+
+    # --- ModelConfiguration (reference config.py:51-106) ---
+    EPOCHS: int = 5000
+    SEED: int = 777
+
+    TRAIN_SPLIT_RATIO: float = 0.65
+    VALIDATION_SPLIT_RATIO: float = 0.25
+    TEST_SPLIT_RATIO: float = 0.10
+
+    DATA_POINT: int | None = None
+    DATA_SLICER: int = int(1e10)
+    BATCH_SIZE: int = 512  # graphs per global step
+
+    N_CRITIC: int = 5
+    LEARNING_RATE_GENERATOR: float = 2e-4
+    LEARNING_RATE_DISCRIMINATOR: float = 2e-4
+
+    LAMBDA_RATIO: float = 0.1
+    LAMBDA_RATIO_VOID: float = 0.1
+    LAMBDA_LABEL: float = 0.0
+    LAMBDA_ADV: float = 1.0
+    LAMBDA_FAR: float = 0.1
+    LAMBDA_GP: float = 10.0
+
+    BETAS: Tuple[float, float] = (0.5, 0.999)
+
+    F1_SCORE_TRAIN_WEIGHT: float = 0.05
+    F1_SCORE_VALIDATION_WEIGHT: float = 1.0
+
+    METRICS_AVERAGE: str = "macro"
+
+    LOG_DIR: str = dataclasses.field(
+        default_factory=lambda: os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "runs")
+        )
+    )
+
+    GENERATOR_CONV_TYPE: str = "GATCONV"
+    GENERATOR_ENCODER_REPEAT: int = 7
+    GENERATOR_HIDDEN_DIM: int = 128
+
+    DISCRIMINATOR_CONV_TYPE: str = "GATCONV"
+    DISCRIMINATOR_ENCODER_REPEAT: int = 3
+    DISCRIMINATOR_HIDDEN_DIM: int = 64
+
+    Z_DIM: int = 128
+    LOCAL_GRAPH_ENCODER_REPEAT: int = 4
+    LOCAL_ENCODER_HIDDEN_DIM: int = 128
+    ENCODER_DROPOUT_RATE: float = 0.2
+
+    GENERATOR_MLP_ENCODER_REPEAT: int = 4
+
+    USE_WGANGP: bool = True
+
+    SANITY_CHECKING: bool = False
+
+    # --- TPU-native additions (no reference counterpart) ---
+    # Static-shape packing budgets: each packed batch element holds up to
+    # PACK_GRAPHS graphs, PACK_LOCAL_NODES / PACK_VOXEL_NODES nodes, and the
+    # corresponding edge budgets, padded to exactly these sizes so every jitted
+    # step sees one shape.  Defaults sized from the reference dataset stats
+    # (avg ~399 voxels/building, `analyze.py:100-110`).
+    PACK_GRAPHS: int = 64
+    PACK_LOCAL_NODES: int = 2048
+    PACK_LOCAL_EDGES: int = 8192
+    PACK_VOXEL_NODES: int = 32768
+    PACK_VOXEL_EDGES: int = 262144
+
+    # dtype policy: parameters/optimizer in f32, activations bf16 on the MXU.
+    COMPUTE_DTYPE: str = "bfloat16"
+    PARAM_DTYPE: str = "float32"
+
+    # Mesh: number of data-parallel shards (1 = single chip).
+    MESH_DATA: int = 1
+
+    # Quirk parity flags (SURVEY.md §7).
+    # Q1: reference pools matched features across the WHOLE merged batch rather
+    # than per graph.  False = fixed per-graph segment_mean (recommended);
+    # True = reproduce reference batch-level pooling for parity runs.
+    BATCH_LEVEL_MATCHING: bool = False
+    # Q5: reference GraphNorm normalizes across the merged batch (no batch
+    # vector).  False = per-graph GraphNorm (recommended); True = batch-level.
+    BATCH_LEVEL_GRAPHNORM: bool = False
+    # Use the fused Pallas message-passing kernel where available (falls back
+    # to the XLA segment-op path off-TPU or for unsupported configs).
+    USE_PALLAS: bool = True
+
+    def __post_init__(self):
+        if self.SANITY_CHECKING:
+            # Reference behavior (config.py:112-117): sanity mode trains on a
+            # single datum with batch size 1.
+            self.BATCH_SIZE = 1
+            if self.DATA_POINT is None:
+                self.DATA_POINT = 77
+            self.PACK_GRAPHS = 1
+
+    @property
+    def SPLIT_RATIOS(self) -> Tuple[float, float, float]:
+        return (self.TRAIN_SPLIT_RATIO, self.VALIDATION_SPLIT_RATIO, self.TEST_SPLIT_RATIO)
+
+    @property
+    def GLOBAL_GRAPH_DATA_PATH(self) -> str:
+        return os.path.join(self.DATA_PATH, "global_graph_data")
+
+    @property
+    def LOCAL_GRAPH_DATA_PATH(self) -> str:
+        return os.path.join(self.DATA_PATH, "local_graph_data")
+
+    @property
+    def VOXEL_GRAPH_DATA_PATH(self) -> str:
+        return os.path.join(self.DATA_PATH, "voxel_data")
+
+    def to_dict(self) -> Dict[str, object]:
+        """Flatten config for experiment logging (reference config.py:119-135)."""
+        out = {}
+        for f in dataclasses.fields(self):
+            out[f.name] = getattr(self, f.name)
+        return out
+
+    def replace(self, **kwargs) -> "Configuration":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,11 @@
+from .preprocess import (
+    LocalGraph,
+    VoxelGraph,
+    process_building,
+    create_dataset,
+    load_local,
+    load_voxel,
+    save_local,
+    save_voxel,
+)
+from .batching import PackedBatch, pack_graphs, pack_one, stack_packs

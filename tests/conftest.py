@@ -1,0 +1,49 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+Multi-chip TPU hardware is not available in CI; JAX's host-platform device
+splitting is the fake backend for exercising mesh sharding and collectives
+(SURVEY.md §4).  Must run before jax initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize registers the (tunneled) TPU backend and
+# pins jax_platforms='axon,cpu' regardless of JAX_PLATFORMS, so tests must
+# override via jax.config BEFORE any backend is initialized — otherwise every
+# eager op round-trips through the TPU tunnel (~20s/op).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+import numpy as np  # noqa: E402
+
+from building_gan_tpu.config import Configuration  # noqa: E402
+from building_gan_tpu.data import preprocess, synthetic  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    """Config with small packing budgets suited to synthetic test buildings."""
+    return Configuration(
+        PACK_GRAPHS=4,
+        PACK_LOCAL_NODES=256,
+        PACK_LOCAL_EDGES=2048,
+        PACK_VOXEL_NODES=2048,
+        PACK_VOXEL_EDGES=16384,
+    )
+
+
+@pytest.fixture(scope="session")
+def synthetic_samples(small_cfg):
+    """Eight preprocessed synthetic buildings."""
+    out = []
+    for i in range(8):
+        g, l, v = synthetic.generate_building(seed=1000 + i)
+        local, voxel = preprocess.process_building(g, l, v, small_cfg, f"{i:06d}")
+        out.append((local, voxel))
+    return out

@@ -1,0 +1,148 @@
+"""Tests for synthetic generation, preprocessing semantics, and packing.
+
+Golden semantics from the reference preprocessor
+(`building_gan/src/data.py:216-391`): 17-dim local features, 12-dim voxel
+features, normalization constants, VOID remap, FAR invariant, edge symmetry.
+"""
+
+import numpy as np
+import pytest
+
+from building_gan_tpu.config import Configuration, NUM_CLASSES, VOID
+from building_gan_tpu.data import batching, preprocess, synthetic
+
+
+def test_feature_dims(synthetic_samples):
+    for local, voxel in synthetic_samples:
+        assert local.x.shape[1] == 17  # reference data.py:24-33
+        assert voxel.x.shape[1] == 12  # reference data.py:56-64
+
+
+def test_local_feature_layout(synthetic_samples, small_cfg):
+    local, voxel = synthetic_samples[0]
+    n = local.x.shape[0]
+    onehot = local.x[:, :7]
+    assert np.allclose(onehot.sum(axis=1), 1.0)
+    assert np.array_equal(onehot.argmax(axis=1), local.types)
+    # cols 7:14 = onehot * global type ratio -> row sums equal per-type ratio
+    ratio = local.x[:, 7:14]
+    assert np.all(ratio[onehot == 0] == 0)
+    # far / floor / site_area columns constant or normalized
+    assert np.allclose(local.x[:, 14], local.far)
+    assert np.allclose(local.x[:, 15], local.floor_levels / small_cfg.NORMALIZATION_FACTOR_FLOOR_LEVEL)
+    assert np.allclose(local.x[:, 16], local.site_area / small_cfg.NORMALIZATION_FACTOR_SITE)
+
+
+def test_voxel_feature_layout(synthetic_samples, small_cfg):
+    local, voxel = synthetic_samples[0]
+    assert np.allclose(voxel.x[:, 0:3], voxel.coordinate / small_cfg.NORMALIZATION_FACTOR_COORDINATE)
+    assert np.allclose(voxel.x[:, 3:6], voxel.dimension / small_cfg.NORMALIZATION_FACTOR_DIMENSION)
+    assert np.allclose(voxel.x[:, 6:9], voxel.location / small_cfg.NORMALIZATION_FACTOR_LOCATION)
+    assert np.allclose(voxel.x[:, 9], voxel.far)
+    assert np.allclose(voxel.x[:, 10], voxel.floor_levels / small_cfg.NORMALIZATION_FACTOR_FLOOR_LEVEL)
+    assert np.allclose(voxel.x[:, 11], voxel.site_area / small_cfg.NORMALIZATION_FACTOR_SITE)
+
+
+def test_far_invariant(synthetic_samples):
+    """FAR == GFA / site_area over non-void voxels (reference analyze.py:76-79)."""
+    for local, voxel in synthetic_samples:
+        nonvoid = voxel.types != VOID
+        gfa = (voxel.dimension[nonvoid, 1] * voxel.dimension[nonvoid, 2]).sum()
+        assert abs(voxel.far - gfa / voxel.site_area) < 1e-4
+
+
+def test_edges_symmetric_and_sorted(synthetic_samples):
+    for local, voxel in synthetic_samples:
+        for g in (local, voxel):
+            e = g.edge_index
+            pairs = set(map(tuple, e.T.tolist()))
+            assert all((b, a) in pairs for a, b in pairs), "adjacency must be symmetric"
+            # reference nonzero() order: sorted by (src, dst)
+            order = np.lexsort((e[1], e[0]))
+            assert np.array_equal(order, np.arange(e.shape[1]))
+
+
+def test_void_old_remap(small_cfg):
+    g, l, v = synthetic.generate_building(seed=5)
+    for node in v["voxel_node"]:
+        if node["type"] == VOID:
+            node["type"] = -1  # legacy encoding
+    local, voxel = preprocess.process_building(g, l, v, small_cfg, "000005")
+    assert voxel.types.max() < NUM_CLASSES
+    assert np.all(voxel.types >= 0)
+    assert (voxel.types == VOID).any()
+
+
+def test_node_ratio(synthetic_samples):
+    """node_ratio = ratio of the node's own type (reference data.py:76-77)."""
+    local, voxel = synthetic_samples[0]
+    n = voxel.types.shape[0]
+    counts = np.bincount(voxel.types, minlength=NUM_CLASSES) / n
+    assert np.allclose(voxel.node_ratio[:, 0], counts[voxel.types], atol=1e-6)
+
+
+def test_npz_roundtrip(tmp_path, synthetic_samples):
+    local, voxel = synthetic_samples[0]
+    lp, vp = str(tmp_path / "l.npz"), str(tmp_path / "v.npz")
+    preprocess.save_local(lp, local)
+    preprocess.save_voxel(vp, voxel)
+    l2 = preprocess.load_local(lp)
+    v2 = preprocess.load_voxel(vp)
+    assert np.array_equal(l2.x, local.x)
+    assert np.array_equal(v2.edge_index, voxel.edge_index)
+    assert l2.data_number == local.data_number
+
+
+def test_packing_budgets_and_masks(synthetic_samples, small_cfg):
+    packs = batching.pack_graphs(synthetic_samples, small_cfg)
+    assert len(packs) >= 2  # 8 graphs, 4 per pack
+    total_nodes = 0
+    for p in packs:
+        G = small_cfg.PACK_GRAPHS
+        assert p.voxel_x.shape == (small_cfg.PACK_VOXEL_NODES, 12)
+        assert p.local_x.shape == (small_cfg.PACK_LOCAL_NODES, 17)
+        # padded nodes live in the dummy segment G
+        assert np.all(p.voxel_graph_id[p.voxel_mask == 0] == G)
+        assert np.all(p.voxel_graph_id[p.voxel_mask == 1] < G)
+        # padded edges are masked and point at node 0
+        assert np.all(p.voxel_src[p.voxel_edge_mask == 0] == 0)
+        # edges sorted by destination
+        real = p.voxel_edge_mask == 1
+        assert np.all(np.diff(p.voxel_dst[real]) >= 0)
+        total_nodes += int(p.voxel_mask.sum())
+    assert total_nodes == sum(v.x.shape[0] for _, v in synthetic_samples)
+
+
+def test_pack_preserves_per_graph_content(synthetic_samples, small_cfg):
+    packs = batching.pack_graphs(synthetic_samples[:2], small_cfg)
+    p = packs[0]
+    local0, voxel0 = synthetic_samples[0]
+    sel = p.voxel_graph_id == 0
+    assert sel.sum() == voxel0.x.shape[0]
+    assert np.allclose(p.voxel_x[sel], voxel0.x)
+    assert np.array_equal(p.voxel_type[sel], voxel0.types)
+    assert np.isclose(p.far[0], voxel0.far)
+
+
+def test_oversize_building_raises(small_cfg):
+    cfg = small_cfg.replace(PACK_VOXEL_NODES=8)
+    g, l, v = synthetic.generate_building(seed=0)
+    local, voxel = preprocess.process_building(g, l, v, cfg, "0")
+    with pytest.raises(ValueError):
+        batching.pack_graphs([(local, voxel)], cfg)
+
+
+def test_create_dataset_end_to_end(tmp_path, small_cfg):
+    root = str(tmp_path / "raw")
+    synthetic.write_dataset(root, num_buildings=3, seed=1)
+    cfg = small_cfg.replace(
+        DATA_PATH=root, SAVE_DATA_PATH=str(tmp_path / "processed")
+    )
+    n = preprocess.create_dataset(cfg, verbose=False)
+    assert n == 3
+    import os
+
+    files = sorted(os.listdir(cfg.SAVE_DATA_PATH))
+    assert len(files) == 6  # 3 local + 3 voxel
+    local = preprocess.load_local(os.path.join(cfg.SAVE_DATA_PATH, "000001_local.npz"))
+    assert local.x.shape[1] == 17

@@ -1,0 +1,182 @@
+"""Numerical parity tests: segment ops and message passing vs dense oracles.
+
+Each masked segment op must match a dense einsum/adjacency-matrix oracle on
+small random graphs, including with padding present (SURVEY.md §4 test plan).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from building_gan_tpu.ops import segment as seg
+from building_gan_tpu.ops.gumbel import gumbel_softmax_st
+from building_gan_tpu.ops.message_passing import gat_aggregate_xla
+from building_gan_tpu.ops.pooling import type_matched_pooling
+
+
+def random_graph(rng, n=13, p=0.4, pad_edges=7):
+    """Random directed graph + padded edge arrays."""
+    adj = (rng.random((n, n)) < p) & ~np.eye(n, dtype=bool)
+    src, dst = np.nonzero(adj)
+    e = len(src)
+    src = np.concatenate([src, np.zeros(pad_edges, np.int64)]).astype(np.int32)
+    dst = np.concatenate([dst, np.zeros(pad_edges, np.int64)]).astype(np.int32)
+    mask = np.concatenate([np.ones(e), np.zeros(pad_edges)]).astype(np.float32)
+    return adj, src, dst, mask
+
+
+def test_segment_softmax_vs_dense():
+    rng = np.random.default_rng(0)
+    adj, src, dst, mask = random_graph(rng)
+    n = adj.shape[0]
+    scores = rng.normal(size=src.shape[0]).astype(np.float32)
+
+    out = seg.segment_softmax(jnp.array(scores), jnp.array(dst), n, mask=jnp.array(mask))
+    out = np.array(out)
+
+    # dense oracle: per destination row, softmax over its real incoming edges
+    for i in range(n):
+        idx = np.where((dst == i) & (mask > 0))[0]
+        if len(idx) == 0:
+            continue
+        s = scores[idx]
+        expect = np.exp(s - s.max())
+        expect /= expect.sum()
+        np.testing.assert_allclose(out[idx], expect, rtol=1e-5)
+    # padded entries contribute zero weight
+    assert np.all(out[mask == 0] == 0)
+
+
+def test_segment_mean_weighted():
+    ids = jnp.array([0, 0, 1, 2, 2, 2])
+    vals = jnp.arange(6, dtype=jnp.float32)[:, None]
+    w = jnp.array([1, 1, 1, 1, 0, 1], dtype=jnp.float32)
+    out = seg.segment_mean(vals, ids, 4, weights=w)
+    np.testing.assert_allclose(np.array(out[:, 0]), [0.5, 2.0, 4.0, 0.0])
+
+
+def test_gat_aggregate_vs_dense():
+    """GAT aggregation (with implicit self loop) vs dense attention oracle."""
+    rng = np.random.default_rng(1)
+    adj, src, dst, mask = random_graph(rng, n=11)
+    n = adj.shape[0]
+    f = 5
+    h = rng.normal(size=(n, f)).astype(np.float32)
+    a_src = rng.normal(size=n).astype(np.float32)
+    a_dst = rng.normal(size=n).astype(np.float32)
+    slope = 0.2
+
+    out = np.array(
+        gat_aggregate_xla(
+            jnp.array(h), jnp.array(a_src), jnp.array(a_dst),
+            jnp.array(src), jnp.array(dst), jnp.array(mask), negative_slope=slope,
+        )
+    )
+
+    def lrelu(x):
+        return np.where(x >= 0, x, slope * x)
+
+    # dense oracle with self loops added
+    adj_sl = adj | np.eye(n, dtype=bool)
+    scores = lrelu(a_src[:, None] + a_dst[None, :])  # scores[j, i] for edge j->i
+    expect = np.zeros_like(h)
+    for i in range(n):
+        nbrs = np.where(adj_sl[:, i])[0]
+        s = scores[nbrs, i]
+        alpha = np.exp(s - s.max())
+        alpha /= alpha.sum()
+        expect[i] = (alpha[:, None] * h[nbrs]).sum(axis=0)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_gat_padding_invariance():
+    """Extra padded edges must not change real-node outputs."""
+    rng = np.random.default_rng(2)
+    adj, src, dst, mask = random_graph(rng, n=9, pad_edges=0)
+    n = adj.shape[0]
+    h = rng.normal(size=(n, 4)).astype(np.float32)
+    a_src = rng.normal(size=n).astype(np.float32)
+    a_dst = rng.normal(size=n).astype(np.float32)
+
+    out1 = gat_aggregate_xla(
+        jnp.array(h), jnp.array(a_src), jnp.array(a_dst),
+        jnp.array(src), jnp.array(dst), jnp.array(mask),
+    )
+    # append 50 masked edges pointing at random nodes
+    pad_src = np.concatenate([src, rng.integers(0, n, 50).astype(np.int32)])
+    pad_dst = np.concatenate([dst, rng.integers(0, n, 50).astype(np.int32)])
+    pad_mask = np.concatenate([mask, np.zeros(50, np.float32)])
+    out2 = gat_aggregate_xla(
+        jnp.array(h), jnp.array(a_src), jnp.array(a_dst),
+        jnp.array(pad_src), jnp.array(pad_dst), jnp.array(pad_mask),
+    )
+    np.testing.assert_allclose(np.array(out1), np.array(out2), rtol=1e-5)
+
+
+def test_type_matched_pooling_per_graph():
+    """Per-graph pooling equals a python loop oracle; absent types -> zeros."""
+    rng = np.random.default_rng(3)
+    G, NUM_CLASSES = 3, 7
+    nl, nv = 20, 30
+    local_x = rng.normal(size=(nl, 17)).astype(np.float32)
+    local_type = rng.integers(0, 5, nl).astype(np.int32)  # types 5,6 absent
+    local_gid = rng.integers(0, G, nl).astype(np.int32)
+    local_mask = np.ones(nl, np.float32)
+    local_mask[-3:] = 0  # padding
+    local_gid[-3:] = G
+    voxel_type = rng.integers(0, 7, nv).astype(np.int32)
+    voxel_gid = rng.integers(0, G, nv).astype(np.int32)
+
+    out = np.array(
+        type_matched_pooling(
+            jnp.array(local_x), jnp.array(local_type), jnp.array(local_gid),
+            jnp.array(local_mask), jnp.array(voxel_type), jnp.array(voxel_gid), G,
+        )
+    )
+    for v in range(nv):
+        sel = (local_type == voxel_type[v]) & (local_gid == voxel_gid[v]) & (local_mask > 0)
+        if sel.sum() > 0:
+            np.testing.assert_allclose(out[v], local_x[sel].mean(axis=0), rtol=1e-5)
+        else:
+            np.testing.assert_allclose(out[v], 0.0)
+
+
+def test_type_matched_pooling_batch_level_quirk():
+    """Q1 parity mode: mean crosses graph boundaries (reference models.py:122-129)."""
+    rng = np.random.default_rng(4)
+    G = 2
+    local_x = rng.normal(size=(6, 17)).astype(np.float32)
+    local_type = np.array([0, 0, 1, 0, 1, 2], np.int32)
+    local_gid = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    local_mask = np.ones(6, np.float32)
+    voxel_type = np.array([0, 1, 2], np.int32)
+    voxel_gid = np.array([0, 0, 0], np.int32)
+
+    out = np.array(
+        type_matched_pooling(
+            jnp.array(local_x), jnp.array(local_type), jnp.array(local_gid),
+            jnp.array(local_mask), jnp.array(voxel_type), jnp.array(voxel_gid), G,
+            batch_level=True,
+        )
+    )
+    # voxel 0 (type 0) sees mean of local nodes 0,1,3 — including graph 1's node
+    np.testing.assert_allclose(out[0], local_x[[0, 1, 3]].mean(axis=0), rtol=1e-5)
+    np.testing.assert_allclose(out[2], local_x[5], rtol=1e-5)
+
+
+def test_gumbel_st():
+    key = jax.random.key(0)
+    logits = jnp.array(np.random.default_rng(5).normal(size=(40, 7)), dtype=jnp.float32)
+    hard, soft = gumbel_softmax_st(logits, key)
+    hard, soft = np.array(hard), np.array(soft)
+    # forward value is exactly one-hot
+    assert np.allclose(hard.sum(axis=1), 1.0)
+    assert set(np.unique(hard)) <= {0.0, 1.0}
+    assert np.allclose(soft.sum(axis=1), 1.0, atol=1e-5)
+    # ST gradient: d(hard)/d(logits) == d(soft)/d(logits)
+    f_hard = lambda lg: gumbel_softmax_st(lg, key)[0].sum() * 0 + (gumbel_softmax_st(lg, key)[0] ** 2).sum()
+    f_soft = lambda lg: (gumbel_softmax_st(lg, key)[1] ** 2).sum()
+    # gradients flow (nonzero) through the hard sample
+    g = jax.grad(lambda lg: (gumbel_softmax_st(lg, key)[0] * jnp.arange(7.0)).sum())(logits)
+    assert np.abs(np.array(g)).sum() > 0
