@@ -1,0 +1,154 @@
+"""WGAN-GP and auxiliary losses over packed (masked) graph batches.
+
+Re-implements the reference loss stack (`building_gan/src/trainer.py:291-385`)
+with explicit masking for static-shape padding:
+
+- D loss: ``mean(D(fake)) - mean(D(real)) + GP`` where means run over real
+  voxel nodes only (the reference critic emits per-node scores — quirk Q10).
+- Gradient penalty: per-node eps ~ U[0,1] interpolation on the one-hot label
+  simplex, gradient of the summed critic output w.r.t. the interpolated
+  labels, ``mean((||grad||_2 - 1)^2) * lambda_gp`` (reference
+  `trainer.py:291-316`).  JAX expresses the double-backward naturally:
+  ``jax.grad`` of the scalarized critic inside the D-loss, differentiated
+  again w.r.t. D params.
+- G loss: ``lambda_adv * (-mean(D(fake))) + lambda_label * CE +
+  lambda_ratio * MSE(ratio[:-2]) + lambda_ratio_void * MSE(ratio[-2:]) +
+  lambda_far * MSE(FAR_gen, FAR)`` (reference `trainer.py:334-385`).
+  Ratios are computed over the whole packed batch, matching the reference's
+  merged-batch ratio (`trainer.py:348-349`); the [-2:] split is quirk Q4.
+  The FAR term is computed from hard (argmax) labels and carries no gradient
+  in the reference (quirk Q3) — mirrored here with an explicit
+  ``stop_gradient`` and documented.
+- BCE path for ``USE_WGANGP=False`` (reference `trainer.py:326-341`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Configuration, NUM_CLASSES, VOID
+
+
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of ``values`` rows where mask==1 (NaN-safe for padded rows)."""
+    v = values.reshape(values.shape[0], -1).sum(axis=-1)
+    v = jnp.where(mask > 0, v, 0.0)
+    return v.sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def gradient_penalty(
+    d_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    types_onehot: jnp.ndarray,  # (NV, 7) real labels
+    label_soft: jnp.ndarray,  # (NV, 7) generated soft labels
+    voxel_mask: jnp.ndarray,  # (NV,)
+    key: jax.Array,
+    lambda_gp: float,
+) -> jnp.ndarray:
+    """WGAN-GP on the label simplex (reference trainer.py:291-316)."""
+    eps = jax.random.uniform(key, (types_onehot.shape[0], 1), dtype=types_onehot.dtype)
+    interpolated = eps * types_onehot + (1.0 - eps) * label_soft
+
+    def scalarized(x):
+        scores = d_apply(x)  # (NV, 1) per-node critic scores
+        return jnp.sum(scores[:, 0] * voxel_mask)
+
+    grads = jax.grad(scalarized)(interpolated)  # (NV, 7)
+    norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    penalty = masked_mean((norms - 1.0) ** 2, voxel_mask)
+    return penalty * lambda_gp
+
+
+def discriminator_loss(
+    d_apply: Callable[[jnp.ndarray], jnp.ndarray],  # label -> (NV, 1) scores
+    types_onehot: jnp.ndarray,
+    label_hard: jnp.ndarray,
+    label_soft: jnp.ndarray,
+    voxel_mask: jnp.ndarray,
+    key: jax.Array,
+    cfg: Configuration,
+) -> jnp.ndarray:
+    """Critic loss (reference trainer.py:318-332)."""
+    d_real = d_apply(types_onehot)
+    d_fake = d_apply(label_hard)
+    if cfg.USE_WGANGP:
+        loss = masked_mean(d_fake, voxel_mask) - masked_mean(d_real, voxel_mask)
+        loss += gradient_penalty(
+            d_apply, types_onehot, label_soft, voxel_mask, key, cfg.LAMBDA_GP
+        )
+    else:
+        eps = 1e-7
+        d_real_c = jnp.clip(d_real, eps, 1 - eps)
+        d_fake_c = jnp.clip(d_fake, eps, 1 - eps)
+        loss_real = masked_mean(-jnp.log(d_real_c), voxel_mask)
+        loss_fake = masked_mean(-jnp.log(1 - d_fake_c), voxel_mask)
+        loss = loss_fake + loss_real
+    return loss
+
+
+def generator_loss(
+    d_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    batch,
+    logits: jnp.ndarray,
+    label_hard: jnp.ndarray,
+    cfg: Configuration,
+) -> tuple[jnp.ndarray, dict]:
+    """Generator loss + aux dict (reference trainer.py:334-385)."""
+    voxel_mask = batch.voxel_mask
+    types_onehot = jax.nn.one_hot(batch.voxel_type, NUM_CLASSES, dtype=logits.dtype)
+    types_onehot = types_onehot * voxel_mask[:, None]
+
+    d_fake = d_apply(label_hard)
+    if cfg.USE_WGANGP:
+        g_loss_adv = -masked_mean(d_fake, voxel_mask)
+    else:
+        eps = 1e-7
+        g_loss_adv = masked_mean(-jnp.log(jnp.clip(d_fake, eps, 1 - eps)), voxel_mask)
+    g_loss_adv = g_loss_adv * cfg.LAMBDA_ADV
+
+    # cross entropy vs ground-truth types (lambda 0.0 in the reference config)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(types_onehot * logp, axis=-1)
+    g_loss_label = masked_mean(ce, voxel_mask) * cfg.LAMBDA_LABEL
+
+    # merged-batch program-type ratio match (reference trainer.py:348-355).
+    n_real = jnp.maximum(voxel_mask.sum(), 1.0)
+    ratio_gen = jnp.sum(label_hard * voxel_mask[:, None], axis=0) / n_real
+    ratio_true = jnp.sum(types_onehot, axis=0) / n_real
+    g_loss_ratio = jnp.mean((ratio_gen[:-2] - ratio_true[:-2]) ** 2) * cfg.LAMBDA_RATIO
+    g_loss_ratio_void = jnp.mean((ratio_gen[-2:] - ratio_true[-2:]) ** 2) * cfg.LAMBDA_RATIO_VOID
+
+    # FAR term (quirk Q3: detached in the reference — log-only, no gradient).
+    far_gen = generated_far(batch, label_hard)
+    far_err = (far_gen - batch.far) ** 2
+    g_mask = batch.graph_mask
+    g_loss_far = jnp.sum(far_err * g_mask) / jnp.maximum(g_mask.sum(), 1.0)
+    g_loss_far = jax.lax.stop_gradient(g_loss_far) * cfg.LAMBDA_FAR
+
+    g_loss = g_loss_adv + g_loss_ratio + g_loss_label + g_loss_ratio_void + g_loss_far
+    aux = {
+        "g_loss_adv": g_loss_adv,
+        "g_loss_label": g_loss_label,
+        "g_loss_ratio": g_loss_ratio,
+        "g_loss_ratio_void": g_loss_ratio_void,
+        "g_loss_far": g_loss_far,
+    }
+    return g_loss, aux
+
+
+def generated_far(batch, label_hard: jnp.ndarray) -> jnp.ndarray:
+    """Per-graph FAR of the generated labels (reference trainer.py:357-378).
+
+    GFA = sum of (dim_y * dim_x) over generated non-void voxels; FAR =
+    GFA / site_area.  Uses hard (argmax) labels like the reference.
+    """
+    num_graphs = batch.graph_mask.shape[0]
+    gen_type = jnp.argmax(label_hard, axis=-1)
+    nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.voxel_mask
+    area = batch.voxel_dimension[:, 1] * batch.voxel_dimension[:, 2]
+    gfa = jax.ops.segment_sum(
+        area * nonvoid, batch.voxel_graph_id, num_segments=num_graphs + 1
+    )[:num_graphs]
+    return gfa / jnp.maximum(batch.site_area, 1e-6)

@@ -1,0 +1,105 @@
+"""In-graph classification metrics from masked confusion matrices.
+
+The reference computes macro F1 / precision / recall / accuracy with sklearn
+on the CPU per batch (`building_gan/src/trainer.py:387-443`) — a device->host
+sync in the hot loop.  Here the 7x7 confusion matrix is accumulated on device
+(one scatter-add), and the sklearn ``average='macro', zero_division=0``
+semantics are reproduced exactly:
+
+- per-class precision/recall/F1 with 0 where the denominator is 0;
+- the macro mean runs over classes present in ``y_true U y_pred`` (sklearn's
+  default label set), not over all 7 classes;
+- per-graph scores come from per-graph confusion matrices (segment keyed on
+  ``graph_id * 49 + true * 7 + pred``), replacing the python loop at
+  `trainer.py:418-439`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NUM_CLASSES
+
+
+def confusion_matrix(
+    y_true: jnp.ndarray, y_pred: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """(7, 7) matrix; rows = true, cols = pred; padded entries excluded."""
+    idx = y_true * NUM_CLASSES + y_pred
+    flat = jax.ops.segment_sum(mask, idx, num_segments=NUM_CLASSES * NUM_CLASSES)
+    return flat.reshape(NUM_CLASSES, NUM_CLASSES)
+
+
+def per_graph_confusion_matrices(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    mask: jnp.ndarray,
+    graph_id: jnp.ndarray,
+    num_graphs: int,
+) -> jnp.ndarray:
+    """(G, 7, 7) per-graph confusion matrices in a single scatter-add."""
+    idx = graph_id * (NUM_CLASSES * NUM_CLASSES) + y_true * NUM_CLASSES + y_pred
+    flat = jax.ops.segment_sum(
+        mask, idx, num_segments=(num_graphs + 1) * NUM_CLASSES * NUM_CLASSES
+    )
+    return flat.reshape(num_graphs + 1, NUM_CLASSES, NUM_CLASSES)[:num_graphs]
+
+
+def _scores_from_cm(cm: jnp.ndarray) -> dict:
+    """Macro precision/recall/F1 + accuracy from one confusion matrix.
+
+    Matches sklearn ``average='macro', zero_division=0`` with the default
+    label set (classes present in y_true or y_pred).
+    """
+    tp = jnp.diagonal(cm, axis1=-2, axis2=-1)
+    support_true = cm.sum(axis=-1)  # row sums
+    support_pred = cm.sum(axis=-2)  # col sums
+    present = ((support_true + support_pred) > 0).astype(cm.dtype)
+    n_present = jnp.maximum(present.sum(axis=-1), 1.0)
+
+    precision = jnp.where(support_pred > 0, tp / jnp.maximum(support_pred, 1.0), 0.0)
+    recall = jnp.where(support_true > 0, tp / jnp.maximum(support_true, 1.0), 0.0)
+    pr = precision + recall
+    f1 = jnp.where(pr > 0, 2.0 * precision * recall / jnp.maximum(pr, 1e-12), 0.0)
+
+    total = jnp.maximum(cm.sum(axis=(-2, -1)), 1.0)
+    accuracy = tp.sum(axis=-1) / total
+    return {
+        "precision": (precision * present).sum(axis=-1) / n_present,
+        "recall": (recall * present).sum(axis=-1) / n_present,
+        "f1": (f1 * present).sum(axis=-1) / n_present,
+        "accuracy": accuracy,
+    }
+
+
+def compute_metrics(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    mask: jnp.ndarray,
+    graph_id: jnp.ndarray,
+    graph_mask: jnp.ndarray,
+) -> dict:
+    """Whole-batch macro scores + min per-graph F1 (reference trainer.py:387-443).
+
+    Returns scalars: f1, f1_min (over real graphs), precision, recall,
+    accuracy.
+    """
+    num_graphs = graph_mask.shape[0]
+    cm = confusion_matrix(y_true, y_pred, mask)
+    batch_scores = _scores_from_cm(cm)
+
+    cms = per_graph_confusion_matrices(y_true, y_pred, mask, graph_id, num_graphs)
+    per_graph = _scores_from_cm(cms)
+    f1_min = jnp.min(jnp.where(graph_mask > 0, per_graph["f1"], jnp.inf))
+    f1_min = jnp.where(jnp.isfinite(f1_min), f1_min, 0.0)
+
+    return {
+        "f1": batch_scores["f1"],
+        "f1_min": f1_min,
+        "precision": batch_scores["precision"],
+        "recall": batch_scores["recall"],
+        "accuracy": batch_scores["accuracy"],
+        "confusion_matrix": cm,
+        "per_graph_f1": per_graph["f1"],
+    }

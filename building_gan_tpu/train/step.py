@@ -1,0 +1,205 @@
+"""The fully-jitted adversarial train step.
+
+One XLA program contains what the reference runs as ~22 separate
+CUDA-launch-heavy python iterations per batch (`building_gan/src/trainer.py:
+459-502`): the N_CRITIC=5 discriminator loop (each with real/fake/interpolated
+critic passes and the WGAN-GP double-backward), the generator update, and the
+metric computation.  No host sync occurs inside an epoch except to log.
+
+Structure:
+    train_step(state, batch, key) -> (state, metrics_dict)
+      - lax.fori_loop over N_CRITIC D updates (fresh z + Gumbel noise per
+        iteration, G applied under stop_gradient — reference trainer.py:467-481)
+      - one G update through the ST-Gumbel head (trainer.py:484-495)
+      - in-graph confusion-matrix metrics (trainer.py:497-502)
+
+``axis_name`` enables data parallelism: gradients are ``lax.pmean``-ed and
+metrics ``lax.psum``-ed across the mesh axis before the (replicated)
+optimizer update — the ICI all-reduce the reference has no counterpart for
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Configuration, NUM_CLASSES
+from . import losses as L
+from . import metrics as M
+from .state import TrainState
+
+
+def make_train_step(
+    cfg: Configuration,
+    gen,
+    disc,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jittable train step for a single (per-device) packed batch."""
+
+    def pmean(tree):
+        if axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, axis_name)
+
+    def generator_forward(params_g, batch, key, deterministic=False):
+        kz, kgum, kdrop = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (batch.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
+        return gen.apply(
+            {"params": params_g},
+            batch,
+            z,
+            deterministic=deterministic,
+            rngs={"gumbel": kgum, "dropout": kdrop},
+        )
+
+    def d_apply(params_d, batch, label, key, deterministic=False):
+        return disc.apply(
+            {"params": params_d},
+            batch,
+            label,
+            deterministic=deterministic,
+            rngs={"dropout": key},
+        )
+
+    def critic_update(params_g, params_d, opt_d, batch, types_onehot, key):
+        kgen, kgp, kd, kd2 = jax.random.split(key, 4)
+        # G forward without gradient (reference trainer.py:469-473)
+        _, label_hard, label_soft = generator_forward(params_g, batch, kgen)
+        label_hard = jax.lax.stop_gradient(label_hard)
+        label_soft = jax.lax.stop_gradient(label_soft)
+
+        def d_loss_fn(pd):
+            return L.discriminator_loss(
+                lambda lbl: d_apply(pd, batch, lbl, kd),
+                types_onehot,
+                label_hard,
+                label_soft,
+                batch.voxel_mask,
+                kgp,
+                cfg,
+            )
+
+        d_loss, grads = jax.value_and_grad(d_loss_fn)(params_d)
+        grads = pmean(grads)
+        updates, opt_d = tx_d.update(grads, opt_d, params_d)
+        params_d = optax.apply_updates(params_d, updates)
+        return params_d, opt_d, pmean(d_loss)
+
+    def train_step(state: TrainState, batch, key: jax.Array):
+        types_onehot = jax.nn.one_hot(batch.voxel_type, NUM_CLASSES, dtype=jnp.float32)
+        types_onehot = types_onehot * batch.voxel_mask[:, None]
+
+        # --- N_CRITIC discriminator updates (reference trainer.py:467-481) ---
+        def body(i, carry):
+            params_d, opt_d, d_loss_sum = carry
+            k = jax.random.fold_in(key, i)
+            params_d, opt_d, d_loss = critic_update(
+                state.params_g, params_d, opt_d, batch, types_onehot, k
+            )
+            return params_d, opt_d, d_loss_sum + d_loss
+
+        params_d, opt_d, d_loss_sum = jax.lax.fori_loop(
+            0, cfg.N_CRITIC, body, (state.params_d, state.opt_d, jnp.zeros(()))
+        )
+        d_loss_mean = d_loss_sum / cfg.N_CRITIC
+
+        # --- generator update (reference trainer.py:484-495) ---
+        kg = jax.random.fold_in(key, cfg.N_CRITIC)
+        kgd = jax.random.fold_in(key, cfg.N_CRITIC + 1)
+
+        def g_loss_fn(pg):
+            logits, label_hard, _ = generator_forward(pg, batch, kg)
+            g_loss, aux = L.generator_loss(
+                lambda lbl: d_apply(params_d, batch, lbl, kgd),
+                batch,
+                logits,
+                label_hard,
+                cfg,
+            )
+            return g_loss, (aux, label_hard)
+
+        (g_loss, (g_aux, label_hard)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_g
+        )
+        grads = pmean(grads)
+        updates, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+
+        # --- in-graph metrics (reference trainer.py:497-502) ---
+        y_pred = jnp.argmax(label_hard, axis=-1)
+        m = M.compute_metrics(
+            batch.voxel_type, y_pred, batch.voxel_mask, batch.voxel_graph_id, batch.graph_mask
+        )
+        if axis_name is not None:
+            cm = jax.lax.psum(m["confusion_matrix"], axis_name)
+            scores = M._scores_from_cm(cm)
+            f1_min = jax.lax.pmin(m["f1_min"], axis_name)
+            m = {
+                "f1": scores["f1"],
+                "f1_min": f1_min,
+                "precision": scores["precision"],
+                "recall": scores["recall"],
+                "accuracy": scores["accuracy"],
+            }
+        else:
+            m = {k: m[k] for k in ("f1", "f1_min", "precision", "recall", "accuracy")}
+
+        metrics = {
+            "g_loss": pmean(g_loss),
+            "d_loss": d_loss_mean,
+            **{k: pmean(v) for k, v in g_aux.items()},
+            **m,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Configuration, gen, disc) -> Callable:
+    """Jittable validation step: G forward + G loss + metrics, no updates
+    (reference `_validate_each_epoch`, trainer.py:522-577)."""
+
+    def eval_step(state: TrainState, batch, key: jax.Array):
+        kz, kgum = jax.random.split(key)
+        z = jax.random.normal(kz, (batch.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
+        logits, label_hard, _ = gen.apply(
+            {"params": state.params_g},
+            batch,
+            z,
+            deterministic=True,
+            rngs={"gumbel": kgum},
+        )
+        g_loss, g_aux = L.generator_loss(
+            lambda lbl: disc.apply({"params": state.params_d}, batch, lbl, deterministic=True),
+            batch,
+            logits,
+            label_hard,
+            cfg,
+        )
+        y_pred = jnp.argmax(label_hard, axis=-1)
+        m = M.compute_metrics(
+            batch.voxel_type, y_pred, batch.voxel_mask, batch.voxel_graph_id, batch.graph_mask
+        )
+        return {
+            "g_loss": g_loss,
+            **g_aux,
+            **{k: m[k] for k in ("f1", "f1_min", "precision", "recall", "accuracy")},
+            "per_graph_f1": m["per_graph_f1"],
+        }
+
+    return eval_step
