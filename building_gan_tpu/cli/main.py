@@ -1,0 +1,177 @@
+"""Command-line entry points: preprocess / synth / analyze / train / sanity / test.
+
+The reference exposes its knobs by mutating ``Configuration`` attributes
+inside scripts (`train.py:15-16`, `sanity.py:13-15`); here every entry point
+takes explicit flags with the same field names and defaults.
+
+Usage:
+    python -m building_gan_tpu.cli.main synth --root data/6types-raw_data --num 100
+    python -m building_gan_tpu.cli.main preprocess
+    python -m building_gan_tpu.cli.main analyze
+    python -m building_gan_tpu.cli.main train --epochs 1000
+    python -m building_gan_tpu.cli.main sanity --epochs 5000
+    python -m building_gan_tpu.cli.main test --log-dir runs/_base
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def _add_config_overrides(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-path", default=None, help="raw data root (DATA_PATH)")
+    p.add_argument("--save-data-path", default=None, help="processed data dir (SAVE_DATA_PATH)")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="graphs per step (BATCH_SIZE)")
+    p.add_argument("--n-critic", type=int, default=None)
+    p.add_argument("--conv-type", default=None, choices=["GCNCONV", "GRAPHCONV", "GATCONV", "GATV2CONV"])
+    p.add_argument("--data-slicer", type=int, default=None)
+    p.add_argument("--pack-graphs", type=int, default=None)
+    p.add_argument("--pack-voxel-nodes", type=int, default=None)
+    p.add_argument("--pack-voxel-edges", type=int, default=None)
+    p.add_argument("--pack-local-nodes", type=int, default=None)
+    p.add_argument("--pack-local-edges", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=None, help="data-parallel shards")
+    p.add_argument("--batch-level-matching", action="store_true", help="quirk Q1 parity")
+    p.add_argument("--batch-level-graphnorm", action="store_true", help="quirk Q5 parity")
+
+
+def _build_config(args, sanity: bool = False):
+    from ..config import Configuration
+
+    cfg = Configuration(sanity_checking=sanity)
+    mapping = {
+        "data_path": "DATA_PATH",
+        "save_data_path": "SAVE_DATA_PATH",
+        "log_dir": "LOG_DIR",
+        "epochs": "EPOCHS",
+        "seed": "SEED",
+        "batch_size": "BATCH_SIZE",
+        "n_critic": "N_CRITIC",
+        "data_slicer": "DATA_SLICER",
+        "pack_graphs": "PACK_GRAPHS",
+        "pack_voxel_nodes": "PACK_VOXEL_NODES",
+        "pack_voxel_edges": "PACK_VOXEL_EDGES",
+        "pack_local_nodes": "PACK_LOCAL_NODES",
+        "pack_local_edges": "PACK_LOCAL_EDGES",
+        "mesh_data": "MESH_DATA",
+    }
+    overrides = {}
+    for arg_name, field in mapping.items():
+        v = getattr(args, arg_name, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "conv_type", None):
+        overrides["GENERATOR_CONV_TYPE"] = args.conv_type
+        overrides["DISCRIMINATOR_CONV_TYPE"] = args.conv_type
+    if getattr(args, "batch_level_matching", False):
+        overrides["BATCH_LEVEL_MATCHING"] = True
+    if getattr(args, "batch_level_graphnorm", False):
+        overrides["BATCH_LEVEL_GRAPHNORM"] = True
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def cmd_synth(args):
+    from ..data.synthetic import write_dataset
+
+    root = args.data_path or _build_config(args).DATA_PATH
+    write_dataset(root, args.num, seed=args.seed or 0)
+    print(f"wrote {args.num} synthetic buildings under {root}")
+
+
+def cmd_preprocess(args):
+    from ..data.preprocess import create_dataset
+
+    cfg = _build_config(args)
+    import time
+
+    t0 = time.time()
+    n = create_dataset(cfg)
+    dt = time.time() - t0
+    print(f"processed {n} buildings in {dt:.1f}s ({n / max(dt, 1e-9):.2f} it/s)")
+
+
+def cmd_analyze(args):
+    from ..utils.analyze import analyze_dataset
+
+    cfg = _build_config(args)
+    analyze_dataset(cfg)
+
+
+def _make_trainer(args, sanity: bool):
+    import jax
+
+    from ..data.pipeline import GraphDataLoaders
+    from ..models import VoxelGNNDiscriminator, VoxelGNNGenerator
+    from ..parallel import mesh as meshlib
+    from ..train.trainer import Trainer
+
+    cfg = _build_config(args, sanity=sanity)
+    mesh = None
+    n_dev = cfg.MESH_DATA
+    if n_dev > 1:
+        mesh = meshlib.make_mesh(n_dev)
+    loaders = GraphDataLoaders(cfg, n_device_batches=None if mesh is None else n_dev)
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    log_dir = args.log_dir
+    return Trainer(gen, disc, loaders, cfg, log_dir=log_dir, mesh=mesh)
+
+
+def cmd_train(args):
+    trainer = _make_trainer(args, sanity=False)
+    trainer.train()
+
+
+def cmd_sanity(args):
+    trainer = _make_trainer(args, sanity=True)
+    trainer.train()
+
+
+def cmd_test(args):
+    trainer = _make_trainer(args, sanity=False)
+    trainer.test(num_samples_to_viz=args.num_samples_to_viz, show=args.show)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="building_gan_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help="generate a synthetic raw dataset")
+    p.add_argument("--num", type=int, default=100)
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("preprocess", help="raw JSON -> NPZ pairs")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("analyze", help="dataset statistics + FAR invariant check")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("train", help="full training run")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("sanity", help="single-datum overfit harness")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_sanity)
+
+    p = sub.add_parser("test", help="test-split metrics + qualitative eval")
+    p.add_argument("--num-samples-to-viz", type=int, default=10)
+    p.add_argument("--show", action="store_true")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_test)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

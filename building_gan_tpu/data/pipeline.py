@@ -1,0 +1,163 @@
+"""Dataset + dataloaders: NPZ pairs -> shuffled packed-batch epochs.
+
+Mirrors the reference surface (`building_gan/src/data.py:80-212`):
+``GraphDataset`` (eager-loads every ``*_local.npz``/``*_voxel.npz`` pair,
+sorted by building number, with ``DATA_SLICER`` and sanity-mode single-datum
+selection) and ``GraphDataLoaders`` (seeded 65/25/10 split, shuffled
+train/validation/test loaders).  Differences:
+
+- batches are static-shape :class:`PackedBatch` packs (not PyG dynamic
+  ``Batch``), optionally stacked to a leading device axis for data
+  parallelism;
+- the split permutation comes from a dedicated ``numpy`` RNG seeded with
+  ``cfg.SEED`` — structurally equivalent to the reference's
+  ``torch.random_split`` under the global seed (quirk Q9: JAX reproduces the
+  structure, not the exact torch stream);
+- epochs that do not fill a multiple of ``n_device_batches`` are completed by
+  cycling packs so every jitted step sees the same stacked shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Configuration
+from . import batching
+from .preprocess import LocalGraph, VoxelGraph, load_local, load_voxel
+
+
+class GraphDataset:
+    """Eagerly loads all processed building pairs (reference data.py:80-163)."""
+
+    def __init__(self, configuration: Configuration):
+        cfg = configuration
+        self.configuration = cfg
+
+        local_files = sorted(
+            (
+                os.path.join(cfg.SAVE_DATA_PATH, d)
+                for d in os.listdir(cfg.SAVE_DATA_PATH)
+                if d.endswith(cfg.LOCAL_DATA_SUFFIX)
+            ),
+            key=lambda x: int(os.path.basename(x).split("_")[0]),
+        )
+        voxel_files = sorted(
+            (
+                os.path.join(cfg.SAVE_DATA_PATH, d)
+                for d in os.listdir(cfg.SAVE_DATA_PATH)
+                if d.endswith(cfg.VOXEL_DATA_SUFFIX)
+            ),
+            key=lambda x: int(os.path.basename(x).split("_")[0]),
+        )
+        local_files = local_files[: cfg.DATA_SLICER]
+        voxel_files = voxel_files[: cfg.DATA_SLICER]
+        if cfg.SANITY_CHECKING:
+            # single-datum selection (reference data.py:105-107)
+            idx = min(cfg.DATA_POINT, len(local_files) - 1)
+            local_files = [local_files[idx]]
+            voxel_files = [voxel_files[idx]]
+        assert len(local_files) == len(voxel_files)
+
+        self.samples: List[Tuple[LocalGraph, VoxelGraph]] = []
+        for lf, vf in zip(local_files, voxel_files):
+            assert os.path.basename(lf).split("_")[0] == os.path.basename(vf).split("_")[0]
+            local = load_local(lf)
+            voxel = load_voxel(vf)
+            assert local.data_number == voxel.data_number
+            self.samples.append((local, voxel))
+
+    def __getitem__(self, i: int) -> Tuple[LocalGraph, VoxelGraph]:
+        return self.samples[i]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+class PackedLoader:
+    """Shuffled epoch iterator yielding stacked PackedBatch tensors.
+
+    Each ``__iter__`` call re-shuffles (like a torch DataLoader with
+    ``shuffle=True``) and greedily packs the permuted samples, then groups
+    packs into stacks of ``n_device_batches`` along a leading axis.  With
+    ``n_device_batches=None`` single packs are yielded (no leading axis).
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[Tuple[LocalGraph, VoxelGraph]],
+        cfg: Configuration,
+        shuffle: bool = True,
+        seed: int = 0,
+        n_device_batches: Optional[int] = None,
+    ):
+        self.samples = list(samples)
+        self.cfg = cfg
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.n_device_batches = n_device_batches
+
+    def __iter__(self) -> Iterator[batching.PackedBatch]:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        samples = [self.samples[i] for i in order]
+        packs = batching.pack_graphs(samples, self.cfg)
+        if self.n_device_batches is None:
+            yield from packs
+            return
+        d = self.n_device_batches
+        for i in range(0, len(packs), d):
+            group = packs[i : i + d]
+            while len(group) < d:  # cycle to fill the stacked shape
+                group.append(group[len(group) % max(len(group), 1) - 1])
+            yield batching.stack_packs(group)
+
+    def num_packs_per_epoch(self) -> int:
+        packs = batching.pack_graphs(self.samples, self.cfg)
+        return len(packs)
+
+
+class GraphDataLoaders:
+    """Seeded 65/25/10 split + three shuffled loaders (reference data.py:166-212)."""
+
+    def __init__(self, configuration: Configuration, n_device_batches: Optional[int] = None):
+        cfg = configuration
+        self.configuration = cfg
+        self.sanity_checking = cfg.SANITY_CHECKING
+        self.dataset = GraphDataset(cfg)
+
+        n = len(self.dataset)
+        rng = np.random.default_rng(cfg.SEED)
+        perm = rng.permutation(n)
+        n_train = int(round(n * cfg.TRAIN_SPLIT_RATIO))
+        n_val = int(round(n * cfg.VALIDATION_SPLIT_RATIO))
+        self.train_indices = perm[:n_train]
+        self.validation_indices = perm[n_train : n_train + n_val]
+        self.test_indices = perm[n_train + n_val :]
+
+        def subset(indices):
+            return [self.dataset[i] for i in indices]
+
+        self.train_dataloader = PackedLoader(
+            subset(self.train_indices), cfg, shuffle=True, seed=cfg.SEED,
+            n_device_batches=n_device_batches,
+        )
+        self.validation_dataloader = (
+            PackedLoader(
+                subset(self.validation_indices), cfg, shuffle=True, seed=cfg.SEED + 1,
+                n_device_batches=n_device_batches,
+            )
+            if not self.sanity_checking and len(self.validation_indices)
+            else None
+        )
+        self.test_dataloader = (
+            PackedLoader(
+                subset(self.test_indices), cfg, shuffle=True, seed=cfg.SEED + 2,
+                n_device_batches=n_device_batches,
+            )
+            if not self.sanity_checking and len(self.test_indices)
+            else None
+        )

@@ -1,0 +1,58 @@
+"""Data-parallel train step: shard_map over the 1-D device mesh.
+
+Each device holds one :class:`PackedBatch` (the global batch is a stack of
+per-device packs on the leading axis).  Inside the shard-mapped step the
+per-device gradients are ``lax.pmean``-ed across the ``data`` axis (XLA lowers
+this to an ICI all-reduce on TPU) before the replicated optimizer update, and
+confusion-matrix metrics are ``lax.psum``-ed so the logged scores are global.
+
+This is the framework's NCCL-free equivalent of DDP — semantics only
+(sum-reduced gradients), no reference counterpart to mirror (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Configuration
+from ..train.step import make_train_step
+from .mesh import DATA_AXIS
+
+
+def make_parallel_train_step(
+    cfg: Configuration,
+    gen,
+    disc,
+    tx_g,
+    tx_d,
+    mesh: Mesh,
+    fold_device_rng: bool = True,
+) -> Callable:
+    """Build a jitted DP train step.
+
+    Args:
+      fold_device_rng: fold the device index into the per-step key so each
+        shard draws independent z/Gumbel/GP noise (the semantics of a larger
+        batch).  Disable for single-vs-multi-device equivalence tests.
+    """
+    core = make_train_step(cfg, gen, disc, tx_g, tx_d, axis_name=DATA_AXIS)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sharded_step(state, batch, key):
+        # each device sees a (1, ...)-leading slice of the stacked batch
+        batch = jax.tree.map(lambda x: x[0], batch)
+        if fold_device_rng:
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        return core(state, batch, key)
+
+    return jax.jit(sharded_step, donate_argnums=(0,))

@@ -1,0 +1,298 @@
+"""Trainer: the epoch loop with TB observability and best-gated checkpoints.
+
+Mirrors the reference training runtime (`building_gan/src/trainer.py:580-806`)
+on top of the fully jitted step:
+
+- per epoch: train over every packed batch (the 5-critic + G update loop runs
+  INSIDE one XLA program — the reference pays ~22 python-dispatched network
+  passes per batch, `trainer.py:459-495`), then a no-update validation pass;
+- checkpoint criterion ``0.05 * min_train_f1 + 1.0 * min_val_f1``
+  (reference `trainer.py:675-678`, weights `config.py:78-79`);
+- the same 14 TensorBoard scalar tags per epoch (`trainer.py:680-693`),
+  config dump as text (`trainer.py:644-646`), and best-epoch image strips;
+- auto-resume from ``log_dir`` on construction (`trainer.py:628-636`), with
+  the quirk-Q11 epoch_start patch on non-improving epochs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from functools import wraps
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint import ckpt
+from ..config import Configuration
+from ..data.pipeline import GraphDataLoaders
+from ..parallel import dp, mesh as meshlib
+from .state import TrainState, create_train_state
+from .step import make_eval_step, make_train_step
+
+
+def runtime_calculator(func: Callable) -> Callable:
+    """Wall-clock decorator (reference trainer.py:31-50)."""
+
+    @wraps(func)
+    def wrapper(*args, **kwargs):
+        start = time.time()
+        result = func(*args, **kwargs)
+        print(f"The function {func.__name__} took {time.time() - start} seconds to run.")
+        return result
+
+    return wrapper
+
+
+class Trainer:
+    """Adversarial trainer with checkpoint/resume and TB logging.
+
+    Construction mirrors the reference
+    ``Trainer(generator, discriminator, dataloaders, ..., configuration,
+    log_dir)`` (`trainer.py:580-600`); optimizers are built internally from
+    the configuration (Adam + cosine G schedule, reference train.py:36-38).
+    """
+
+    def __init__(
+        self,
+        generator,
+        discriminator,
+        dataloaders: GraphDataLoaders,
+        configuration: Configuration,
+        log_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.generator = generator
+        self.discriminator = discriminator
+        self.dataloaders = dataloaders
+        self.configuration = configuration
+        self.sanity_checking = configuration.SANITY_CHECKING
+        self.mesh = mesh
+
+        if log_dir is None:
+            log_dir = os.path.join(configuration.LOG_DIR, time.strftime("%m-%d-%Y__%H-%M-%S"))
+        self.log_dir = log_dir
+
+        cfg = configuration
+        steps_per_epoch = max(self.dataloaders.train_dataloader.num_packs_per_epoch(), 1)
+        if mesh is not None:
+            steps_per_epoch = max(steps_per_epoch // mesh.devices.size, 1)
+        total_g_updates = cfg.EPOCHS * steps_per_epoch
+
+        sample_pack = next(iter(self.dataloaders.train_dataloader))
+        if mesh is not None:
+            sample_pack_single = jax.tree.map(lambda x: x[0], sample_pack)
+        else:
+            sample_pack_single = sample_pack
+
+        key = jax.random.key(cfg.SEED)
+        self.state, self.tx_g, self.tx_d = create_train_state(
+            cfg, generator, discriminator, sample_pack_single, key, total_g_updates
+        )
+
+        if mesh is not None:
+            self.train_step = dp.make_parallel_train_step(
+                cfg, generator, discriminator, self.tx_g, self.tx_d, mesh
+            )
+        else:
+            self.train_step = jax.jit(
+                make_train_step(cfg, generator, discriminator, self.tx_g, self.tx_d),
+                donate_argnums=(0,),
+            )
+        self.eval_step = jax.jit(make_eval_step(cfg, generator, discriminator))
+
+        # auto-resume (reference trainer.py:628-636)
+        self.meta = {"epoch_start": 1, "best_f1_score": 0.0}
+        restored = ckpt.load_states(self.log_dir, self.state)
+        if restored is not None:
+            self.state, meta = restored
+            self.meta.update(meta)
+            print(f"Loaded states from {self.log_dir}")
+
+    # ------------------------------------------------------------------
+    @runtime_calculator
+    def _train_each_epoch(self, epoch: int) -> dict:
+        sums = defaultdict(float)
+        f1_min = np.inf
+        n = 0
+        base = jax.random.fold_in(jax.random.key(self.configuration.SEED), epoch)
+        for i, batch in enumerate(self.dataloaders.train_dataloader):
+            self.state, metrics = self.train_step(self.state, batch, jax.random.fold_in(base, i))
+            metrics = jax.device_get(metrics)
+            for k in ("g_loss", "d_loss", "f1", "precision", "recall", "accuracy"):
+                sums[k] += float(metrics[k])
+            f1_min = min(f1_min, float(metrics["f1_min"]))
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
+        return out
+
+    @runtime_calculator
+    def _validate_each_epoch(self, epoch: int) -> dict:
+        if self.sanity_checking or self.dataloaders.validation_dataloader is None:
+            return {"g_loss": 0.0, "f1": 0.0, "f1_min": 0.0, "precision": 0.0, "recall": 0.0, "accuracy": 0.0}
+        sums = defaultdict(float)
+        f1_min = np.inf
+        n = 0
+        base = jax.random.fold_in(jax.random.key(self.configuration.SEED + 999), epoch)
+        for i, batch in enumerate(self.dataloaders.validation_dataloader):
+            if self.mesh is not None:
+                # eval runs single-device; flatten stacked packs
+                for d in range(batch.voxel_x.shape[0]):
+                    single = jax.tree.map(lambda x: x[d], batch)
+                    metrics = jax.device_get(self.eval_step(self.state, single, jax.random.fold_in(base, i * 64 + d)))
+                    for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
+                        sums[k] += float(metrics[k])
+                    f1_min = min(f1_min, float(metrics["f1_min"]))
+                    n += 1
+            else:
+                metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+                for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
+                    sums[k] += float(metrics[k])
+                f1_min = min(f1_min, float(metrics["f1_min"]))
+                n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self):
+        from tensorboardX import SummaryWriter
+
+        cfg = self.configuration
+        writer = SummaryWriter(log_dir=self.log_dir)
+        for key, value in cfg.to_dict().items():
+            writer.add_text(f"configuration/{key}", str(value))
+
+        epoch_start = int(self.meta.get("epoch_start", 1))
+        epoch_end = cfg.EPOCHS + 1
+        best_f1_score = float(self.meta.get("best_f1_score", 0.0))
+
+        for epoch in range(epoch_start, epoch_end):
+            tr = self._train_each_epoch(epoch)
+            va = self._validate_each_epoch(epoch)
+
+            current_f1_score = (
+                tr["f1_min"] * cfg.F1_SCORE_TRAIN_WEIGHT
+                + va["f1_min"] * cfg.F1_SCORE_VALIDATION_WEIGHT
+            )
+
+            # same scalar tags as the reference (trainer.py:680-693)
+            writer.add_scalar("g_loss_train", tr["g_loss"], epoch)
+            writer.add_scalar("d_loss_train", tr["d_loss"], epoch)
+            writer.add_scalar("g_loss_validation", va["g_loss"], epoch)
+            writer.add_scalar("f1_score_train", tr["f1"], epoch)
+            writer.add_scalar("f1_score_validation", va["f1"], epoch)
+            writer.add_scalar("f1_score_min_train", tr["f1_min"], epoch)
+            writer.add_scalar("f1_score_min_validation", va["f1_min"], epoch)
+            writer.add_scalar("f1_score_min_weightedsum", current_f1_score, epoch)
+            writer.add_scalar("precision_score_train", tr["precision"], epoch)
+            writer.add_scalar("precision_score_validation", va["precision"], epoch)
+            writer.add_scalar("recall_score_train", tr["recall"], epoch)
+            writer.add_scalar("recall_score_validation", va["recall"], epoch)
+            writer.add_scalar("accuracy_score_train", tr["accuracy"], epoch)
+            writer.add_scalar("accuracy_score_validation", va["accuracy"], epoch)
+
+            if best_f1_score < current_f1_score:
+                print(f"Best f1 score updated: {best_f1_score} -> {current_f1_score}")
+                best_f1_score = current_f1_score
+
+                if self.sanity_checking:
+                    fig = self._render_sample(epoch)
+                    if fig is not None:
+                        writer.add_image(f"epoch_{epoch}", fig, epoch)
+                else:
+                    ckpt.save_states(
+                        self.log_dir,
+                        self.state,
+                        {
+                            "epoch_start": epoch,
+                            "epoch_end": epoch_end,
+                            "best_f1_score": best_f1_score,
+                            "f1_score_train": tr["f1"],
+                            "f1_score_validation": va["f1"],
+                            "f1_score_min_train": tr["f1_min"],
+                            "f1_score_min_validation": va["f1_min"],
+                            "f1_score_min_weightedsum": current_f1_score,
+                            "recall_score_train": tr["recall"],
+                            "recall_score_validation": va["recall"],
+                            "accuracy_score_train": tr["accuracy"],
+                            "accuracy_score_validation": va["accuracy"],
+                        },
+                    )
+                    fig = self._render_sample(epoch)
+                    if fig is not None:
+                        writer.add_image(f"epoch_{epoch}", fig, epoch)
+            else:
+                if not self.sanity_checking and ckpt.exists(self.log_dir):
+                    ckpt.patch_epoch_start(self.log_dir, epoch)  # quirk Q11
+
+        writer.close()
+
+    # ------------------------------------------------------------------
+    def _render_sample(self, epoch: int):
+        """Best-epoch qualitative image (CHW uint8) for TensorBoard."""
+        try:
+            from ..viz.render import evaluate_qualitatively
+
+            return evaluate_qualitatively(
+                self, epoch=epoch, num_samples_to_viz=1, to_tensor=True
+            )
+        except Exception as e:  # rendering must never kill training
+            print(f"render skipped: {e}")
+            return None
+
+    def generate(self, batch, key):
+        """One generator forward at eval time -> (logits, hard, soft)."""
+        kz, kgum = jax.random.split(key)
+        import jax.numpy as jnp
+
+        z = jax.random.normal(kz, (batch.voxel_x.shape[0], self.configuration.Z_DIM))
+        return self.generator.apply(
+            {"params": self.state.params_g}, batch, z, deterministic=True, rngs={"gumbel": kgum}
+        )
+
+    @runtime_calculator
+    def test(self, num_samples_to_viz: int = 0, show: bool = False) -> dict:
+        """Test-split metrics printout (reference trainer.py:749-806)."""
+        loader = self.dataloaders.test_dataloader
+        assert loader is not None, "no test split (sanity mode?)"
+        sums = defaultdict(float)
+        f1_min = np.inf
+        n = 0
+        base = jax.random.key(self.configuration.SEED + 31337)
+        for i, batch in enumerate(loader):
+            batches = (
+                [jax.tree.map(lambda x, d=d: x[d], batch) for d in range(batch.voxel_x.shape[0])]
+                if self.mesh is not None
+                else [batch]
+            )
+            for j, b in enumerate(batches):
+                metrics = jax.device_get(self.eval_step(self.state, b, jax.random.fold_in(base, i * 64 + j)))
+                for k in ("f1", "precision", "recall", "accuracy"):
+                    sums[k] += float(metrics[k])
+                f1_min = min(f1_min, float(metrics["f1_min"]))
+                n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
+
+        print(
+            f"""
+            f1_score_test: {out['f1']}
+            f1_score_min_test: {out['f1_min']}
+            precision_score_test: {out['precision']}
+            recall_score_test: {out['recall']}
+            accuracy_score_test: {out['accuracy']}
+            """
+        )
+
+        if num_samples_to_viz > 0:
+            from ..viz.render import evaluate_qualitatively
+
+            evaluate_qualitatively(
+                self, epoch=None, num_samples_to_viz=num_samples_to_viz,
+                use_test_dataset=True, show=show,
+            )
+        return out

@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests: synth -> preprocess -> loaders -> Trainer -> ckpt.
+
+The CPU-scale replica of the reference's full train.py path (SURVEY.md §3.1),
+including checkpoint save/resume semantics and the test() metrics printout.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from building_gan_tpu.checkpoint import ckpt
+from building_gan_tpu.config import Configuration
+from building_gan_tpu.data.pipeline import GraphDataLoaders
+from building_gan_tpu.data.preprocess import create_dataset
+from building_gan_tpu.data.synthetic import write_dataset
+from building_gan_tpu.models import VoxelGNNDiscriminator, VoxelGNNGenerator
+from building_gan_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def processed_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    raw = str(root / "raw")
+    write_dataset(raw, num_buildings=12, seed=7)
+    cfg = Configuration(DATA_PATH=raw, SAVE_DATA_PATH=str(root / "processed"))
+    create_dataset(cfg, verbose=False)
+    return cfg
+
+
+def small_train_cfg(processed_cfg, tmp_path, **kw):
+    base = dict(
+        DATA_PATH=processed_cfg.DATA_PATH,
+        SAVE_DATA_PATH=processed_cfg.SAVE_DATA_PATH,
+        LOG_DIR=str(tmp_path),
+        EPOCHS=2,
+        PACK_GRAPHS=4,
+        PACK_LOCAL_NODES=256,
+        PACK_LOCAL_EDGES=2048,
+        PACK_VOXEL_NODES=2048,
+        PACK_VOXEL_EDGES=16384,
+        GENERATOR_ENCODER_REPEAT=2,
+        GENERATOR_HIDDEN_DIM=16,
+        LOCAL_ENCODER_HIDDEN_DIM=16,
+        Z_DIM=8,
+        GENERATOR_MLP_ENCODER_REPEAT=1,
+        LOCAL_GRAPH_ENCODER_REPEAT=1,
+        DISCRIMINATOR_ENCODER_REPEAT=2,
+        DISCRIMINATOR_HIDDEN_DIM=16,
+        N_CRITIC=1,
+    )
+    base.update(kw)
+    return Configuration().replace(**base)
+
+
+def test_loaders_split(processed_root):
+    cfg = processed_root.replace(
+        PACK_GRAPHS=4, PACK_LOCAL_NODES=256, PACK_LOCAL_EDGES=2048,
+        PACK_VOXEL_NODES=2048, PACK_VOXEL_EDGES=16384,
+    )
+    loaders = GraphDataLoaders(cfg)
+    n = len(loaders.dataset)
+    assert n == 12
+    assert len(loaders.train_indices) + len(loaders.validation_indices) + len(loaders.test_indices) == n
+    # deterministic split under the seed
+    loaders2 = GraphDataLoaders(cfg)
+    assert np.array_equal(loaders.train_indices, loaders2.train_indices)
+    # loaders yield packs
+    packs = list(loaders.train_dataloader)
+    assert len(packs) >= 1
+    assert packs[0].voxel_x.shape == (2048, 12)
+
+
+@pytest.mark.slow
+def test_trainer_epoch_and_checkpoint_resume(processed_root, tmp_path):
+    cfg = small_train_cfg(processed_root, tmp_path / "run")
+    log_dir = str(tmp_path / "run")
+    loaders = GraphDataLoaders(cfg)
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=log_dir)
+    trainer.train()
+
+    # checkpoint written (first epoch always improves over 0.0... unless f1_min
+    # stayed at 0; tolerate both but require TB logs)
+    assert os.path.isdir(log_dir)
+    tb_files = [f for f in os.listdir(log_dir) if "tfevents" in f]
+    assert tb_files, "no tensorboard event file written"
+
+    if ckpt.exists(log_dir):
+        trainer2 = Trainer(gen, disc, loaders, cfg, log_dir=log_dir)
+        assert trainer2.meta.get("epoch_start", 1) >= 1
+        # restored params match saved state
+        a = np.concatenate([np.ravel(x) for x in __import__("jax").tree.leaves(trainer.state.params_g)])
+        b = np.concatenate([np.ravel(x) for x in __import__("jax").tree.leaves(trainer2.state.params_g)])
+        # trainer.state is the final state; trainer2 restored the best state —
+        # both must be finite and same structure
+        assert a.shape == b.shape
+        assert np.all(np.isfinite(b))
+
+
+@pytest.mark.slow
+def test_trainer_test_metrics(processed_root, tmp_path):
+    cfg = small_train_cfg(processed_root, tmp_path / "run2")
+    loaders = GraphDataLoaders(cfg)
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=str(tmp_path / "run2"))
+    out = trainer.test(num_samples_to_viz=0)
+    for k in ("f1", "f1_min", "precision", "recall", "accuracy"):
+        assert 0.0 <= out[k] <= 1.0
+
+
+@pytest.mark.slow
+def test_visualization_renders(processed_root, tmp_path):
+    cfg = small_train_cfg(processed_root, tmp_path / "run3")
+    loaders = GraphDataLoaders(cfg)
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=str(tmp_path / "run3"))
+
+    from building_gan_tpu.viz.render import evaluate_qualitatively
+
+    arr = evaluate_qualitatively(trainer, epoch=1, num_samples_to_viz=1, to_tensor=True)
+    assert arr.ndim == 3 and arr.shape[0] == 3  # CHW RGB
+    assert arr.dtype == np.uint8
