@@ -5,6 +5,11 @@ D 3x64, N_CRITIC=5, WGAN-GP — reference `config.py:63-106`) as one fully
 jitted step on the default backend (TPU when available) and reports real
 (non-padding) voxel nodes processed per second per chip.
 
+Uses the dense-grid stencil path (`building_gan_tpu/ops/stencil.py`) — the
+TPU-native layout for the irregular-voxel-grid graphs (the edge-list path is
+the general fallback; it measures ~250x slower per conv layer on TPU because
+XLA scatters serialize).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference publishes no training throughput (its runs/_base logs
@@ -29,46 +34,42 @@ def main():
     import jax
 
     from building_gan_tpu.config import Configuration
-    from building_gan_tpu.data import batching, preprocess, synthetic
-    from building_gan_tpu.models import VoxelGNNDiscriminator, VoxelGNNGenerator
+    from building_gan_tpu.data import grid as gridlib
+    from building_gan_tpu.data import preprocess, synthetic
+    from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
     from building_gan_tpu.train.state import create_train_state
     from building_gan_tpu.train.step import make_train_step
 
-    # Full reference model dims; pack sized for one chip.
-    cfg = Configuration(
-        PACK_GRAPHS=64,
-        PACK_LOCAL_NODES=4096,
-        PACK_LOCAL_EDGES=32768,
-        PACK_VOXEL_NODES=16384,
-        PACK_VOXEL_EDGES=131072,
-    )
+    # Full reference model dims; grid bucket sized to the synthetic data
+    # (floors <= 10, y/x <= 6); 256 buildings per step.
+    B = 256
+    cfg = Configuration(GRID_SHAPE=(10, 6, 6), GRID_BATCH=B, GRID_LOCAL_NODES=64)
 
     samples = []
     i = 0
-    while len(samples) < 64:
+    while len(samples) < B:
         g, l, v = synthetic.generate_building(i)
-        local, voxel = preprocess.process_building(g, l, v, cfg, f"{i:06d}")
-        samples.append((local, voxel))
+        samples.append(preprocess.process_building(g, l, v, cfg, f"{i:06d}"))
         i += 1
-    batch = batching.pack_graphs(samples, cfg)[0]
-    real_nodes = int(batch.voxel_mask.sum())
+    batch = gridlib.pack_grid(samples, cfg)
+    real_nodes = int(batch.mask.sum())
 
-    gen = VoxelGNNGenerator(configuration=cfg)
-    disc = VoxelGNNDiscriminator(configuration=cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
     state, tx_g, tx_d = create_train_state(cfg, gen, disc, batch, jax.random.key(0), 1000)
     step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d), donate_argnums=(0,))
 
     batch = jax.device_put(batch)
 
-    # warmup / compile
+    # warmup / compile (host transfer is the only reliable sync on this backend)
     state, metrics = step(state, batch, jax.random.key(0))
-    jax.block_until_ready(metrics["g_loss"])
+    _ = float(metrics["g_loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for s in range(1, n_steps + 1):
         state, metrics = step(state, batch, jax.random.fold_in(jax.random.key(1), s))
-    jax.block_until_ready(metrics["g_loss"])
+    _ = float(metrics["g_loss"])
     dt = time.perf_counter() - t0
 
     nodes_per_sec = real_nodes * n_steps / dt

@@ -37,6 +37,7 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pack-local-nodes", type=int, default=None)
     p.add_argument("--pack-local-edges", type=int, default=None)
     p.add_argument("--mesh-data", type=int, default=None, help="data-parallel shards")
+    p.add_argument("--layout", default=None, choices=["grid", "edges"], help="compute layout (LAYOUT)")
     p.add_argument("--batch-level-matching", action="store_true", help="quirk Q1 parity")
     p.add_argument("--batch-level-graphnorm", action="store_true", help="quirk Q5 parity")
 
@@ -60,6 +61,7 @@ def _build_config(args, sanity: bool = False):
         "pack_local_nodes": "PACK_LOCAL_NODES",
         "pack_local_edges": "PACK_LOCAL_EDGES",
         "mesh_data": "MESH_DATA",
+        "layout": "LAYOUT",
     }
     overrides = {}
     for arg_name, field in mapping.items():
@@ -107,7 +109,12 @@ def _make_trainer(args, sanity: bool):
     import jax
 
     from ..data.pipeline import GraphDataLoaders
-    from ..models import VoxelGNNDiscriminator, VoxelGNNGenerator
+    from ..models import (
+        GridVoxelGNNDiscriminator,
+        GridVoxelGNNGenerator,
+        VoxelGNNDiscriminator,
+        VoxelGNNGenerator,
+    )
     from ..parallel import mesh as meshlib
     from ..train.trainer import Trainer
 
@@ -117,8 +124,12 @@ def _make_trainer(args, sanity: bool):
     if n_dev > 1:
         mesh = meshlib.make_mesh(n_dev)
     loaders = GraphDataLoaders(cfg, n_device_batches=None if mesh is None else n_dev)
-    gen = VoxelGNNGenerator(configuration=cfg)
-    disc = VoxelGNNDiscriminator(configuration=cfg)
+    if cfg.LAYOUT == "grid":
+        gen = GridVoxelGNNGenerator(configuration=cfg)
+        disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    else:
+        gen = VoxelGNNGenerator(configuration=cfg)
+        disc = VoxelGNNDiscriminator(configuration=cfg)
     log_dir = args.log_dir
     return Trainer(gen, disc, loaders, cfg, log_dir=log_dir, mesh=mesh)
 

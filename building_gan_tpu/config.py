@@ -154,6 +154,16 @@ class Configuration:
     PACK_VOXEL_NODES: int = 32768
     PACK_VOXEL_EDGES: int = 262144
 
+    # Dense-grid layout (the TPU fast path, see data/grid.py + ops/stencil.py):
+    # voxel graphs are irregular grids (location = (floor, iy, ix)); the
+    # reference dataset spans floors 0-10 and locations 0-11 (analyze.py:99-110)
+    # so (11, 12, 12) covers every building.  GRID_BATCH buildings per step.
+    GRID_SHAPE: Tuple[int, int, int] = (11, 12, 12)
+    GRID_BATCH: int = 64
+    GRID_LOCAL_NODES: int = 64
+    # layout: "grid" (dense stencil fast path) or "edges" (general fallback)
+    LAYOUT: str = "grid"
+
     # dtype policy: parameters/optimizer in f32, activations bf16 on the MXU.
     COMPUTE_DTYPE: str = "bfloat16"
     PARAM_DTYPE: str = "float32"

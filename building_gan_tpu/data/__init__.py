@@ -9,3 +9,4 @@ from .preprocess import (
     save_voxel,
 )
 from .batching import PackedBatch, pack_graphs, pack_one, stack_packs
+from .grid import GridBatch, pack_grid, grid_compatible, stack_grid_batches

@@ -77,12 +77,14 @@ class GraphDataset:
 
 
 class PackedLoader:
-    """Shuffled epoch iterator yielding stacked PackedBatch tensors.
+    """Shuffled epoch iterator yielding static-shape batches.
 
-    Each ``__iter__`` call re-shuffles (like a torch DataLoader with
-    ``shuffle=True``) and greedily packs the permuted samples, then groups
-    packs into stacks of ``n_device_batches`` along a leading axis.  With
-    ``n_device_batches=None`` single packs are yielded (no leading axis).
+    Layout follows ``cfg.LAYOUT``: ``"grid"`` yields dense :class:`GridBatch`
+    blocks (the TPU fast path; ``GRID_BATCH`` buildings each), ``"edges"``
+    yields :class:`PackedBatch` node-list packs (general fallback).  Each
+    ``__iter__`` call re-shuffles (like a torch DataLoader with
+    ``shuffle=True``); with ``n_device_batches`` set, batches are grouped and
+    stacked on a leading device axis for data parallelism.
     """
 
     def __init__(
@@ -98,13 +100,44 @@ class PackedLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.n_device_batches = n_device_batches
+        if cfg.LAYOUT == "grid":
+            from . import grid as gridlib
 
-    def __iter__(self) -> Iterator[batching.PackedBatch]:
+            bad = [
+                v.data_number
+                for _, v in self.samples
+                if not gridlib.grid_compatible(v, cfg.GRID_SHAPE)
+            ]
+            if bad:
+                raise ValueError(
+                    f"{len(bad)} buildings are not grid-compatible (e.g. {bad[:3]}); "
+                    "use LAYOUT='edges' or a larger GRID_SHAPE"
+                )
+
+    def _make_batches(self, samples):
+        if self.cfg.LAYOUT == "grid":
+            from . import grid as gridlib
+
+            B = self.cfg.GRID_BATCH
+            return [
+                gridlib.pack_grid(samples[i : i + B], self.cfg)
+                for i in range(0, len(samples), B)
+            ]
+        return batching.pack_graphs(samples, self.cfg)
+
+    def _stack(self, group):
+        if self.cfg.LAYOUT == "grid":
+            from . import grid as gridlib
+
+            return gridlib.stack_grid_batches(group)
+        return batching.stack_packs(group)
+
+    def __iter__(self):
         order = np.arange(len(self.samples))
         if self.shuffle:
             self.rng.shuffle(order)
         samples = [self.samples[i] for i in order]
-        packs = batching.pack_graphs(samples, self.cfg)
+        packs = self._make_batches(samples)
         if self.n_device_batches is None:
             yield from packs
             return
@@ -113,11 +146,10 @@ class PackedLoader:
             group = packs[i : i + d]
             while len(group) < d:  # cycle to fill the stacked shape
                 group.append(group[len(group) % max(len(group), 1) - 1])
-            yield batching.stack_packs(group)
+            yield self._stack(group)
 
     def num_packs_per_epoch(self) -> int:
-        packs = batching.pack_graphs(self.samples, self.cfg)
-        return len(packs)
+        return len(self._make_batches(self.samples))
 
 
 class GraphDataLoaders:

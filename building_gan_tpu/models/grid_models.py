@@ -1,0 +1,115 @@
+"""Grid-layout generator and discriminator — the TPU flagship models.
+
+Same computation graph as the edge-list models (`generator.py`,
+`discriminator.py` — themselves re-designs of reference `models.py:14-245`)
+over the dense ``(B, F, Y, X, C)`` layout, with IDENTICAL parameter trees so
+one checkpoint drives either path.  All message passing is stencil-based
+(`ops.stencil`); pooling and norms are dense einsums — zero gather/scatter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Configuration, NUM_CLASSES
+from ..ops.gumbel import gumbel_softmax_st
+from .grid_layers import GridHourglass, grid_type_matched_pooling
+from .layers import MLPBlock
+
+
+class GridVoxelGNNGenerator(nn.Module):
+    """Generator over a :class:`GridBatch`: -> (logits, label_hard, label_soft)."""
+
+    configuration: Configuration
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, z: jnp.ndarray, deterministic: bool = False):
+        cfg = self.configuration
+
+        matched_x = grid_type_matched_pooling(
+            batch.local_x.astype(self.dtype),
+            batch.local_type,
+            batch.local_mask,
+            batch.type,
+            NUM_CLASSES,
+            batch_level=cfg.BATCH_LEVEL_MATCHING,
+        )
+
+        h = matched_x
+        for i in range(1 + cfg.LOCAL_GRAPH_ENCODER_REPEAT):
+            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=self.dtype, name=f"matched_enc_{i}")(h)
+        encoded_matched = h
+
+        voxel_x = batch.x.astype(self.dtype)
+        z = z.astype(self.dtype)
+        x = jnp.concatenate([encoded_matched, voxel_x, z], axis=-1)
+        for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
+            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=self.dtype, name=f"mlp_enc_{i}")(x)
+
+        encoded = GridHourglass(
+            conv_type=cfg.GENERATOR_CONV_TYPE,
+            hidden_dim=cfg.GENERATOR_HIDDEN_DIM,
+            repeat=cfg.GENERATOR_ENCODER_REPEAT,
+            dropout_rate=cfg.ENCODER_DROPOUT_RATE,
+            batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
+            dtype=self.dtype,
+            name="encoder",
+        )(x, batch.mask, deterministic)
+
+        final = jnp.concatenate([encoded, x, encoded_matched, voxel_x, z], axis=-1)
+        d = cfg.GENERATOR_HIDDEN_DIM
+        out = final
+        for i, feat in enumerate([d, d // 2, d // 4, d // 8]):
+            out = MLPBlock(feat, dtype=self.dtype, name=f"dec_{i}")(out)
+        logits = nn.Dense(NUM_CLASSES, dtype=self.dtype, name="dec_out")(out)
+
+        key = self.make_rng("gumbel")
+        label_hard, label_soft = gumbel_softmax_st(logits, key, tau=1.0)
+        return logits, label_hard, label_soft
+
+
+class GridVoxelGNNDiscriminator(nn.Module):
+    """Critic over a :class:`GridBatch`: (batch, label) -> (B, F, Y, X, 1)."""
+
+    configuration: Configuration
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, label: jnp.ndarray, deterministic: bool = False):
+        cfg = self.configuration
+
+        matched_x = grid_type_matched_pooling(
+            batch.local_x.astype(self.dtype),
+            batch.local_type,
+            batch.local_mask,
+            batch.type,
+            NUM_CLASSES,
+            batch_level=cfg.BATCH_LEVEL_MATCHING,
+        )
+
+        x = jnp.concatenate(
+            [matched_x, batch.x.astype(self.dtype), label.astype(self.dtype)], axis=-1
+        )
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_0")(x))
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_1")(x))
+
+        encoded = GridHourglass(
+            conv_type=cfg.DISCRIMINATOR_CONV_TYPE,
+            hidden_dim=cfg.DISCRIMINATOR_HIDDEN_DIM,
+            repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
+            dropout_rate=cfg.ENCODER_DROPOUT_RATE,
+            batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
+            dtype=self.dtype,
+            name="encoder",
+        )(x, batch.mask, deterministic)
+
+        d = cfg.DISCRIMINATOR_HIDDEN_DIM
+        out = encoded
+        for i, feat in enumerate([d // 2, d // 4, d // 8]):
+            out = nn.relu(nn.Dense(feat, dtype=self.dtype, name=f"dec_{i}")(out))
+        score = nn.Dense(1, dtype=self.dtype, name="dec_out")(out)
+        if not cfg.USE_WGANGP:
+            score = nn.sigmoid(score)
+        return score

@@ -1,25 +1,26 @@
-"""WGAN-GP and auxiliary losses over packed (masked) graph batches.
+"""WGAN-GP and auxiliary losses, layout-generic (packed edge-list OR grid).
 
 Re-implements the reference loss stack (`building_gan/src/trainer.py:291-385`)
 with explicit masking for static-shape padding:
 
 - D loss: ``mean(D(fake)) - mean(D(real)) + GP`` where means run over real
-  voxel nodes only (the reference critic emits per-node scores — quirk Q10).
+  voxel cells only (the reference critic emits per-node scores — quirk Q10).
 - Gradient penalty: per-node eps ~ U[0,1] interpolation on the one-hot label
   simplex, gradient of the summed critic output w.r.t. the interpolated
   labels, ``mean((||grad||_2 - 1)^2) * lambda_gp`` (reference
-  `trainer.py:291-316`).  JAX expresses the double-backward naturally:
-  ``jax.grad`` of the scalarized critic inside the D-loss, differentiated
-  again w.r.t. D params.
+  `trainer.py:291-316`).  ``jax.grad`` of the scalarized critic expresses the
+  double-backward natively.
 - G loss: ``lambda_adv * (-mean(D(fake))) + lambda_label * CE +
   lambda_ratio * MSE(ratio[:-2]) + lambda_ratio_void * MSE(ratio[-2:]) +
-  lambda_far * MSE(FAR_gen, FAR)`` (reference `trainer.py:334-385`).
-  Ratios are computed over the whole packed batch, matching the reference's
-  merged-batch ratio (`trainer.py:348-349`); the [-2:] split is quirk Q4.
-  The FAR term is computed from hard (argmax) labels and carries no gradient
-  in the reference (quirk Q3) — mirrored here with an explicit
-  ``stop_gradient`` and documented.
+  lambda_far * MSE(FAR_gen, FAR)`` (reference `trainer.py:334-385`).  Ratios
+  are merged-batch like the reference (`trainer.py:348-349`); the [-2:] split
+  is quirk Q4.  The FAR term uses hard labels and carries no gradient in the
+  reference (quirk Q3) — mirrored with an explicit ``stop_gradient``.
 - BCE path for ``USE_WGANGP=False`` (reference `trainer.py:326-341`).
+
+Layout dispatch: a batch with per-cell label tensors of rank > 2 is the dense
+grid layout (per-graph reductions are dense axis sums); rank-2 labels mean
+the packed node-list layout (per-graph reductions are segment ops).
 """
 
 from __future__ import annotations
@@ -33,36 +34,40 @@ from ..config import Configuration, NUM_CLASSES, VOID
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean of ``values`` rows where mask==1 (NaN-safe for padded rows)."""
-    v = values.reshape(values.shape[0], -1).sum(axis=-1)
-    v = jnp.where(mask > 0, v, 0.0)
-    return v.sum() / jnp.maximum(mask.sum(), 1.0)
+    """Mean over entries where mask==1.  ``values`` may carry one trailing
+    feature axis beyond ``mask``'s shape (it is summed per entry)."""
+    if values.ndim == mask.ndim + 1:
+        values = values.sum(axis=-1)
+    values = jnp.where(mask > 0, values, 0.0)
+    return values.sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 def gradient_penalty(
     d_apply: Callable[[jnp.ndarray], jnp.ndarray],
-    types_onehot: jnp.ndarray,  # (NV, 7) real labels
-    label_soft: jnp.ndarray,  # (NV, 7) generated soft labels
-    voxel_mask: jnp.ndarray,  # (NV,)
+    types_onehot: jnp.ndarray,  # (..., 7) real labels
+    label_soft: jnp.ndarray,  # (..., 7) generated soft labels
+    voxel_mask: jnp.ndarray,  # (...)
     key: jax.Array,
     lambda_gp: float,
 ) -> jnp.ndarray:
     """WGAN-GP on the label simplex (reference trainer.py:291-316)."""
-    eps = jax.random.uniform(key, (types_onehot.shape[0], 1), dtype=types_onehot.dtype)
+    eps = jax.random.uniform(
+        key, voxel_mask.shape + (1,), dtype=types_onehot.dtype
+    )
     interpolated = eps * types_onehot + (1.0 - eps) * label_soft
 
     def scalarized(x):
-        scores = d_apply(x)  # (NV, 1) per-node critic scores
-        return jnp.sum(scores[:, 0] * voxel_mask)
+        scores = d_apply(x)  # (..., 1) per-cell critic scores
+        return jnp.sum(scores[..., 0] * voxel_mask)
 
-    grads = jax.grad(scalarized)(interpolated)  # (NV, 7)
-    norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    grads = jax.grad(scalarized)(interpolated)  # (..., 7)
+    norms = jnp.sqrt(jnp.sum(grads * grads, axis=-1) + 1e-12)
     penalty = masked_mean((norms - 1.0) ** 2, voxel_mask)
     return penalty * lambda_gp
 
 
 def discriminator_loss(
-    d_apply: Callable[[jnp.ndarray], jnp.ndarray],  # label -> (NV, 1) scores
+    d_apply: Callable[[jnp.ndarray], jnp.ndarray],  # label -> (..., 1) scores
     types_onehot: jnp.ndarray,
     label_hard: jnp.ndarray,
     label_soft: jnp.ndarray,
@@ -88,6 +93,13 @@ def discriminator_loss(
     return loss
 
 
+def _batch_fields(batch):
+    """(types, mask, is_grid) for either layout."""
+    if hasattr(batch, "grid_shape"):  # GridBatch
+        return batch.type, batch.mask, True
+    return batch.voxel_type, batch.voxel_mask, False
+
+
 def generator_loss(
     d_apply: Callable[[jnp.ndarray], jnp.ndarray],
     batch,
@@ -96,9 +108,9 @@ def generator_loss(
     cfg: Configuration,
 ) -> tuple[jnp.ndarray, dict]:
     """Generator loss + aux dict (reference trainer.py:334-385)."""
-    voxel_mask = batch.voxel_mask
-    types_onehot = jax.nn.one_hot(batch.voxel_type, NUM_CLASSES, dtype=logits.dtype)
-    types_onehot = types_onehot * voxel_mask[:, None]
+    types, voxel_mask, is_grid = _batch_fields(batch)
+    types_onehot = jax.nn.one_hot(types, NUM_CLASSES, dtype=logits.dtype)
+    types_onehot = types_onehot * voxel_mask[..., None]
 
     d_fake = d_apply(label_hard)
     if cfg.USE_WGANGP:
@@ -113,14 +125,15 @@ def generator_loss(
     ce = -jnp.sum(types_onehot * logp, axis=-1)
     g_loss_label = masked_mean(ce, voxel_mask) * cfg.LAMBDA_LABEL
 
-    # merged-batch program-type ratio match (reference trainer.py:348-355).
+    # merged-batch program-type ratio match (reference trainer.py:348-355)
     n_real = jnp.maximum(voxel_mask.sum(), 1.0)
-    ratio_gen = jnp.sum(label_hard * voxel_mask[:, None], axis=0) / n_real
-    ratio_true = jnp.sum(types_onehot, axis=0) / n_real
+    sum_axes = tuple(range(label_hard.ndim - 1))
+    ratio_gen = jnp.sum(label_hard * voxel_mask[..., None], axis=sum_axes) / n_real
+    ratio_true = jnp.sum(types_onehot, axis=sum_axes) / n_real
     g_loss_ratio = jnp.mean((ratio_gen[:-2] - ratio_true[:-2]) ** 2) * cfg.LAMBDA_RATIO
     g_loss_ratio_void = jnp.mean((ratio_gen[-2:] - ratio_true[-2:]) ** 2) * cfg.LAMBDA_RATIO_VOID
 
-    # FAR term (quirk Q3: detached in the reference — log-only, no gradient).
+    # FAR term (quirk Q3: detached in the reference — log-only, no gradient)
     far_gen = generated_far(batch, label_hard)
     far_err = (far_gen - batch.far) ** 2
     g_mask = batch.graph_mask
@@ -139,16 +152,23 @@ def generator_loss(
 
 
 def generated_far(batch, label_hard: jnp.ndarray) -> jnp.ndarray:
-    """Per-graph FAR of the generated labels (reference trainer.py:357-378).
+    """Per-graph FAR of generated labels (reference trainer.py:357-378).
 
-    GFA = sum of (dim_y * dim_x) over generated non-void voxels; FAR =
-    GFA / site_area.  Uses hard (argmax) labels like the reference.
+    GFA = sum of (dim_y * dim_x) over generated non-void cells; FAR =
+    GFA / site_area.  Grid layout: dense axis sums; packed layout: segment
+    sum keyed on graph_id.
     """
-    num_graphs = batch.graph_mask.shape[0]
+    _, mask, is_grid = _batch_fields(batch)
     gen_type = jnp.argmax(label_hard, axis=-1)
-    nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.voxel_mask
-    area = batch.voxel_dimension[:, 1] * batch.voxel_dimension[:, 2]
-    gfa = jax.ops.segment_sum(
-        area * nonvoid, batch.voxel_graph_id, num_segments=num_graphs + 1
-    )[:num_graphs]
+    if is_grid:
+        nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.mask
+        area = batch.dimension[..., 1] * batch.dimension[..., 2]
+        gfa = jnp.sum(area * nonvoid, axis=(1, 2, 3))  # (B,)
+    else:
+        num_graphs = batch.graph_mask.shape[0]
+        nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.voxel_mask
+        area = batch.voxel_dimension[:, 1] * batch.voxel_dimension[:, 2]
+        gfa = jax.ops.segment_sum(
+            area * nonvoid, batch.voxel_graph_id, num_segments=num_graphs + 1
+        )[:num_graphs]
     return gfa / jnp.maximum(batch.site_area, 1e-6)

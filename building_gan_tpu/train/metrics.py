@@ -73,18 +73,49 @@ def _scores_from_cm(cm: jnp.ndarray) -> dict:
     }
 
 
+def grid_confusion_matrices(
+    y_true: jnp.ndarray,  # (B, F, Y, X)
+    y_pred: jnp.ndarray,  # (B, F, Y, X)
+    mask: jnp.ndarray,  # (B, F, Y, X)
+) -> jnp.ndarray:
+    """(B, 7, 7) per-graph confusion matrices via dense one-hot einsum —
+    the grid layout's scatter-free replacement for the segment-op path."""
+    oh_t = jax.nn.one_hot(y_true, NUM_CLASSES) * mask[..., None]
+    oh_p = jax.nn.one_hot(y_pred, NUM_CLASSES)
+    return jnp.einsum("bfyxt,bfyxp->btp", oh_t, oh_p)
+
+
 def compute_metrics(
     y_true: jnp.ndarray,
     y_pred: jnp.ndarray,
     mask: jnp.ndarray,
-    graph_id: jnp.ndarray,
-    graph_mask: jnp.ndarray,
+    graph_id: jnp.ndarray = None,
+    graph_mask: jnp.ndarray = None,
 ) -> dict:
     """Whole-batch macro scores + min per-graph F1 (reference trainer.py:387-443).
 
-    Returns scalars: f1, f1_min (over real graphs), precision, recall,
-    accuracy.
+    Packed layout: 1-D arrays + ``graph_id`` segment keys.  Grid layout:
+    ``(B, F, Y, X)`` arrays (``graph_id`` unused; the batch axis is the graph
+    axis).  Returns scalars: f1, f1_min (over real graphs), precision,
+    recall, accuracy.
     """
+    if y_true.ndim > 1:  # grid layout
+        cms = grid_confusion_matrices(y_true, y_pred, mask)
+        cm = cms.sum(axis=0)
+        batch_scores = _scores_from_cm(cm)
+        per_graph = _scores_from_cm(cms)
+        f1_min = jnp.min(jnp.where(graph_mask > 0, per_graph["f1"], jnp.inf))
+        f1_min = jnp.where(jnp.isfinite(f1_min), f1_min, 0.0)
+        return {
+            "f1": batch_scores["f1"],
+            "f1_min": f1_min,
+            "precision": batch_scores["precision"],
+            "recall": batch_scores["recall"],
+            "accuracy": batch_scores["accuracy"],
+            "confusion_matrix": cm,
+            "per_graph_f1": per_graph["f1"],
+        }
+
     num_graphs = graph_mask.shape[0]
     cm = confusion_matrix(y_true, y_pred, mask)
     batch_scores = _scores_from_cm(cm)

@@ -55,15 +55,19 @@ def create_train_state(
 ):
     """Initialize params for both networks and their optimizer states."""
     from ..config import NUM_CLASSES
+    from .losses import _batch_fields
 
+    types, mask, _ = _batch_fields(batch)
     kg, kd, kz = jax.random.split(key, 3)
-    z = jnp.zeros((batch.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
-    label = jax.nn.one_hot(batch.voxel_type, NUM_CLASSES)
+    z = jnp.zeros(mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
+    label = jax.nn.one_hot(types, NUM_CLASSES)
 
-    params_g = gen.init({"params": kg, "gumbel": kz, "dropout": kz}, batch, z, deterministic=True)[
-        "params"
-    ]
-    params_d = disc.init({"params": kd, "dropout": kz}, batch, label, deterministic=True)["params"]
+    # jit the inits: eager flax init dispatches every op individually, which
+    # is pathological over a remote-tunneled TPU backend (~0.2s/op).
+    g_init = jax.jit(lambda rngs, b, zz: gen.init(rngs, b, zz, deterministic=True))
+    d_init = jax.jit(lambda rngs, b, lb: disc.init(rngs, b, lb, deterministic=True))
+    params_g = g_init({"params": kg, "gumbel": kz, "dropout": kz}, batch, z)["params"]
+    params_d = d_init({"params": kd, "dropout": kz}, batch, label)["params"]
 
     tx_g, tx_d = make_optimizers(cfg, total_g_updates)
     return (

@@ -31,6 +31,7 @@ import optax
 from ..config import Configuration, NUM_CLASSES
 from . import losses as L
 from . import metrics as M
+from .losses import _batch_fields
 from .state import TrainState
 
 
@@ -51,7 +52,8 @@ def make_train_step(
 
     def generator_forward(params_g, batch, key, deterministic=False):
         kz, kgum, kdrop = jax.random.split(key, 3)
-        z = jax.random.normal(kz, (batch.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
+        _, mask, _ = _batch_fields(batch)
+        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
         return gen.apply(
             {"params": params_g},
             batch,
@@ -71,6 +73,7 @@ def make_train_step(
 
     def critic_update(params_g, params_d, opt_d, batch, types_onehot, key):
         kgen, kgp, kd, kd2 = jax.random.split(key, 4)
+        _, voxel_mask, _ = _batch_fields(batch)
         # G forward without gradient (reference trainer.py:469-473)
         _, label_hard, label_soft = generator_forward(params_g, batch, kgen)
         label_hard = jax.lax.stop_gradient(label_hard)
@@ -82,7 +85,7 @@ def make_train_step(
                 types_onehot,
                 label_hard,
                 label_soft,
-                batch.voxel_mask,
+                voxel_mask,
                 kgp,
                 cfg,
             )
@@ -94,8 +97,9 @@ def make_train_step(
         return params_d, opt_d, pmean(d_loss)
 
     def train_step(state: TrainState, batch, key: jax.Array):
-        types_onehot = jax.nn.one_hot(batch.voxel_type, NUM_CLASSES, dtype=jnp.float32)
-        types_onehot = types_onehot * batch.voxel_mask[:, None]
+        types, mask, is_grid = _batch_fields(batch)
+        types_onehot = jax.nn.one_hot(types, NUM_CLASSES, dtype=jnp.float32)
+        types_onehot = types_onehot * mask[..., None]
 
         # --- N_CRITIC discriminator updates (reference trainer.py:467-481) ---
         def body(i, carry):
@@ -135,9 +139,8 @@ def make_train_step(
 
         # --- in-graph metrics (reference trainer.py:497-502) ---
         y_pred = jnp.argmax(label_hard, axis=-1)
-        m = M.compute_metrics(
-            batch.voxel_type, y_pred, batch.voxel_mask, batch.voxel_graph_id, batch.graph_mask
-        )
+        graph_id = None if is_grid else batch.voxel_graph_id
+        m = M.compute_metrics(types, y_pred, mask, graph_id, batch.graph_mask)
         if axis_name is not None:
             cm = jax.lax.psum(m["confusion_matrix"], axis_name)
             scores = M._scores_from_cm(cm)
@@ -176,7 +179,8 @@ def make_eval_step(cfg: Configuration, gen, disc) -> Callable:
 
     def eval_step(state: TrainState, batch, key: jax.Array):
         kz, kgum = jax.random.split(key)
-        z = jax.random.normal(kz, (batch.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
+        types, mask, is_grid = _batch_fields(batch)
+        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
         logits, label_hard, _ = gen.apply(
             {"params": state.params_g},
             batch,
@@ -192,9 +196,8 @@ def make_eval_step(cfg: Configuration, gen, disc) -> Callable:
             cfg,
         )
         y_pred = jnp.argmax(label_hard, axis=-1)
-        m = M.compute_metrics(
-            batch.voxel_type, y_pred, batch.voxel_mask, batch.voxel_graph_id, batch.graph_mask
-        )
+        graph_id = None if is_grid else batch.voxel_graph_id
+        m = M.compute_metrics(types, y_pred, mask, graph_id, batch.graph_mask)
         return {
             "g_loss": g_loss,
             **g_aux,

@@ -140,7 +140,7 @@ class Trainer:
         for i, batch in enumerate(self.dataloaders.validation_dataloader):
             if self.mesh is not None:
                 # eval runs single-device; flatten stacked packs
-                for d in range(batch.voxel_x.shape[0]):
+                for d in range(batch.graph_mask.shape[0]):
                     single = jax.tree.map(lambda x: x[d], batch)
                     metrics = jax.device_get(self.eval_step(self.state, single, jax.random.fold_in(base, i * 64 + d)))
                     for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
@@ -246,10 +246,11 @@ class Trainer:
 
     def generate(self, batch, key):
         """One generator forward at eval time -> (logits, hard, soft)."""
-        kz, kgum = jax.random.split(key)
-        import jax.numpy as jnp
+        from .losses import _batch_fields
 
-        z = jax.random.normal(kz, (batch.voxel_x.shape[0], self.configuration.Z_DIM))
+        kz, kgum = jax.random.split(key)
+        _, mask, _ = _batch_fields(batch)
+        z = jax.random.normal(kz, mask.shape + (self.configuration.Z_DIM,))
         return self.generator.apply(
             {"params": self.state.params_g}, batch, z, deterministic=True, rngs={"gumbel": kgum}
         )
@@ -265,7 +266,7 @@ class Trainer:
         base = jax.random.key(self.configuration.SEED + 31337)
         for i, batch in enumerate(loader):
             batches = (
-                [jax.tree.map(lambda x, d=d: x[d], batch) for d in range(batch.voxel_x.shape[0])]
+                [jax.tree.map(lambda x, d=d: x[d], batch) for d in range(batch.graph_mask.shape[0])]
                 if self.mesh is not None
                 else [batch]
             )

@@ -63,7 +63,14 @@ def visualize_one(
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     cfg = trainer.configuration
-    batch = pack_one([(local_graph, voxel_graph)], cfg)
+    if cfg.LAYOUT == "grid":
+        from ..data.grid import pack_grid
+
+        batch = pack_grid([(local_graph, voxel_graph)], cfg, batch_slots=1)
+        loc = voxel_graph.location.astype(int)
+    else:
+        batch = pack_one([(local_graph, voxel_graph)], cfg)
+        loc = None
     n_real = voxel_graph.x.shape[0]
 
     best_f1 = 0.0
@@ -71,7 +78,11 @@ def visualize_one(
     key = jax.random.key(0)
     for it in range(max(iteration, 1)):
         _, label_hard, _ = trainer.generate(batch, jax.random.fold_in(key, it))
-        pred = np.array(jnp.argmax(label_hard, axis=-1))[:n_real]
+        pred_full = np.array(jnp.argmax(label_hard, axis=-1))
+        if loc is not None:
+            pred = pred_full[0, loc[:, 0], loc[:, 1], loc[:, 2]]
+        else:
+            pred = pred_full[:n_real]
         m = compute_metrics(
             jnp.array(voxel_graph.types),
             jnp.array(pred),

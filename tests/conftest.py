@@ -30,6 +30,7 @@ from building_gan_tpu.data import preprocess, synthetic  # noqa: E402
 def small_cfg():
     """Config with small packing budgets suited to synthetic test buildings."""
     return Configuration(
+        LAYOUT="edges",
         PACK_GRAPHS=4,
         PACK_LOCAL_NODES=256,
         PACK_LOCAL_EDGES=2048,

@@ -48,6 +48,7 @@ def small_train_cfg(processed_cfg, tmp_path, **kw):
         DISCRIMINATOR_ENCODER_REPEAT=2,
         DISCRIMINATOR_HIDDEN_DIM=16,
         N_CRITIC=1,
+        LAYOUT="edges",
     )
     base.update(kw)
     return Configuration().replace(**base)
@@ -55,6 +56,7 @@ def small_train_cfg(processed_cfg, tmp_path, **kw):
 
 def test_loaders_split(processed_root):
     cfg = processed_root.replace(
+        LAYOUT="edges",
         PACK_GRAPHS=4, PACK_LOCAL_NODES=256, PACK_LOCAL_EDGES=2048,
         PACK_VOXEL_NODES=2048, PACK_VOXEL_EDGES=16384,
     )
@@ -124,3 +126,27 @@ def test_visualization_renders(processed_root, tmp_path):
     arr = evaluate_qualitatively(trainer, epoch=1, num_samples_to_viz=1, to_tensor=True)
     assert arr.ndim == 3 and arr.shape[0] == 3  # CHW RGB
     assert arr.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_trainer_grid_layout(processed_root, tmp_path):
+    """Trainer end-to-end on the dense-grid fast path."""
+    from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
+
+    cfg = small_train_cfg(
+        processed_root, tmp_path / "rung",
+        LAYOUT="grid", GRID_SHAPE=(10, 8, 8), GRID_BATCH=4, GRID_LOCAL_NODES=64,
+    )
+    loaders = GraphDataLoaders(cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=str(tmp_path / "rung"))
+    trainer.train()
+    out = trainer.test(num_samples_to_viz=0)
+    for k in ("f1", "f1_min", "precision", "recall", "accuracy"):
+        assert 0.0 <= out[k] <= 1.0
+
+    from building_gan_tpu.viz.render import evaluate_qualitatively
+
+    arr = evaluate_qualitatively(trainer, epoch=1, num_samples_to_viz=1, to_tensor=True)
+    assert arr.ndim == 3 and arr.shape[0] == 3
