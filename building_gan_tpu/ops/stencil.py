@@ -80,8 +80,13 @@ def stencil_gat(
 
     Equivalent to `ops.message_passing.gat_aggregate_xla` on the grid's edge
     list (PyG GATConv semantics, add_self_loops=True, single head).
+
+    Per-direction feature contributions are accumulated in a loop rather than
+    stacked: only scalar (B,F,Y,X) score planes are materialized per
+    direction, never a (6, ..., C) feature tensor — the C-sized shifts fuse
+    into the accumulation, keeping HBM traffic ~6x lower.
     """
-    nbr_h = neighbor_stack(h * mask[..., None])  # (6, B,F,Y,X, C)
+    # scalar score planes per direction (cheap: no channel axis)
     nbr_a_src = neighbor_stack(a_src)  # (6, B,F,Y,X)
     nbr_valid = neighbor_stack(mask)  # (6, B,F,Y,X)
 
@@ -93,11 +98,14 @@ def stencil_gat(
     e_self = jnp.where(e_self >= 0, e_self, negative_slope * e_self)
 
     m = jnp.maximum(jnp.max(e, axis=0), e_self)
-    exp_e = jnp.exp(e - m[None]) * nbr_valid
+    exp_e = jnp.exp(e - m[None]) * nbr_valid  # (6, B,F,Y,X)
     exp_self = jnp.exp(e_self - m)
 
     denom = jnp.sum(exp_e, axis=0) + exp_self
-    num = jnp.sum(exp_e[..., None] * nbr_h, axis=0) + exp_self[..., None] * h
+    hm = h * mask[..., None]
+    num = exp_self[..., None] * h
+    for d, (axis, sh) in enumerate(DIRECTIONS):
+        num = num + exp_e[d][..., None] * shift(hm, axis, sh)
     out = num / jnp.maximum(denom, 1e-16)[..., None]
     return out * mask[..., None]
 
@@ -110,12 +118,17 @@ def stencil_gatv2(
     negative_slope: float = 0.2,
 ) -> jnp.ndarray:
     """GATv2: e_ij = att . LeakyReLU(h_l[j] + h_r[i]); aggregates h_l[j]."""
-    nbr_hl = neighbor_stack(h_l * mask[..., None])  # (6,B,F,Y,X,C)
+    hl_m = h_l * mask[..., None]
     nbr_valid = neighbor_stack(mask)
 
-    z = nbr_hl + h_r[None]
-    z = jnp.where(z >= 0, z, negative_slope * z)
-    e = jnp.einsum("nbfyxc,c->nbfyx", z, att)
+    # GATv2 scores are feature-nonlinear, so per-direction C-sized work is
+    # unavoidable; still loop (never stack) the feature tensors.
+    es = []
+    for axis, sh in DIRECTIONS:
+        z = shift(hl_m, axis, sh) + h_r
+        z = jnp.where(z >= 0, z, negative_slope * z)
+        es.append(jnp.einsum("bfyxc,c->bfyx", z, att))
+    e = jnp.stack(es, axis=0)  # (6, B,F,Y,X) scalar planes
     e = jnp.where(nbr_valid > 0, e, _NEG_INF)
 
     z_self = h_l + h_r
@@ -127,27 +140,33 @@ def stencil_gatv2(
     exp_self = jnp.exp(e_self - m)
 
     denom = jnp.sum(exp_e, axis=0) + exp_self
-    num = jnp.sum(exp_e[..., None] * nbr_hl, axis=0) + exp_self[..., None] * h_l
+    num = exp_self[..., None] * h_l
+    for d, (axis, sh) in enumerate(DIRECTIONS):
+        num = num + exp_e[d][..., None] * shift(hl_m, axis, sh)
     out = num / jnp.maximum(denom, 1e-16)[..., None]
     return out * mask[..., None]
 
 
 def stencil_gcn(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """GCN aggregation: D^-1/2 (A+I) D^-1/2 over the 6-neighborhood."""
-    nbr_valid = neighbor_stack(mask)  # (6,B,F,Y,X)
+    nbr_valid = neighbor_stack(mask)  # (6,B,F,Y,X) scalar planes only
     deg = jnp.sum(nbr_valid, axis=0) + 1.0  # + self loop
     dinv = jax.lax.rsqrt(deg)
 
     scaled = h * (dinv * mask)[..., None]
-    nbr = neighbor_stack(scaled)
-    agg = jnp.sum(nbr * nbr_valid[..., None], axis=0)
-    out = (agg + scaled) * dinv[..., None]
+    agg = scaled
+    for axis, sh in DIRECTIONS:
+        agg = agg + shift(scaled, axis, sh)
+    # shifted-in values from invalid cells are zero (scaled is masked), so no
+    # per-direction validity multiply is needed on the feature tensor
+    out = agg * dinv[..., None]
     return out * mask[..., None]
 
 
 def stencil_sum(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Plain neighbor sum (GraphConv aggregation, no self loop)."""
-    nbr = neighbor_stack(h * mask[..., None])
-    nbr_valid = neighbor_stack(mask)
-    out = jnp.sum(nbr * nbr_valid[..., None], axis=0)
+    hm = h * mask[..., None]
+    out = jnp.zeros_like(h)
+    for axis, sh in DIRECTIONS:
+        out = out + shift(hm, axis, sh)
     return out * mask[..., None]
