@@ -42,7 +42,7 @@ def main():
 
     # Full reference model dims; grid bucket sized to the synthetic data
     # (floors <= 10, y/x <= 6); 256 buildings per step.
-    B = 256
+    B = 512  # reference batch size of record (config.py:63)
     cfg = Configuration(GRID_SHAPE=(10, 6, 6), GRID_BATCH=B, GRID_LOCAL_NODES=64)
 
     samples = []

@@ -93,7 +93,7 @@ def cmd_preprocess(args):
     import time
 
     t0 = time.time()
-    n = create_dataset(cfg)
+    n = create_dataset(cfg, workers=getattr(args, "workers", 0))
     dt = time.time() - t0
     print(f"processed {n} buildings in {dt:.1f}s ({n / max(dt, 1e-9):.2f} it/s)")
 
@@ -159,6 +159,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("preprocess", help="raw JSON -> NPZ pairs")
+    p.add_argument("--workers", type=int, default=0, help="host-parallel worker processes")
     _add_config_overrides(p)
     p.set_defaults(fn=cmd_preprocess)
 

@@ -233,8 +233,8 @@ def process_building(
 
 # --- NPZ serialization -------------------------------------------------------
 
-def save_local(path: str, g: LocalGraph) -> None:
-    np.savez_compressed(
+def save_local(path: str, g: LocalGraph, compress: bool = False) -> None:
+    (np.savez_compressed if compress else np.savez)(
         path,
         x=g.x,
         types=g.types,
@@ -267,8 +267,8 @@ def load_local(path: str) -> LocalGraph:
     )
 
 
-def save_voxel(path: str, g: VoxelGraph) -> None:
-    np.savez_compressed(
+def save_voxel(path: str, g: VoxelGraph, compress: bool = False) -> None:
+    (np.savez_compressed if compress else np.savez)(
         path,
         x=g.x,
         types=g.types,
@@ -310,19 +310,13 @@ def _sorted_json_files(directory: str) -> List[str]:
     return sorted(files, key=lambda x: int(os.path.basename(x).replace(".json", "").split("_")[-1]))
 
 
-def create_dataset(configuration: Configuration, verbose: bool = True, use_native: bool = True) -> int:
-    """Process every raw JSON triplet to NPZ pairs.  Returns count processed.
-
-    Uses the native C++ JSON parser when available (see
-    ``building_gan_tpu/native``); falls back to the pure-Python path.
-    """
-    cfg = configuration
-    global_files = _sorted_json_files(cfg.GLOBAL_GRAPH_DATA_PATH)
-    local_files = _sorted_json_files(cfg.LOCAL_GRAPH_DATA_PATH)
-    voxel_files = _sorted_json_files(cfg.VOXEL_GRAPH_DATA_PATH)
-    assert len(global_files) == len(local_files) == len(voxel_files)
-
-    os.makedirs(cfg.SAVE_DATA_PATH, exist_ok=True)
+def _process_one(args) -> int:
+    gp, lp, vp, cfg, use_native = args
+    num_g = os.path.basename(gp).replace(".json", "").split("_")[-1]
+    num_l = os.path.basename(lp).replace(".json", "").split("_")[-1]
+    num_v = os.path.basename(vp).replace(".json", "").split("_")[-1]
+    assert num_g == num_l == num_v
+    data_number = "".join(s for s in os.path.basename(gp) if s.isdigit())
 
     native = None
     if use_native:
@@ -333,28 +327,59 @@ def create_dataset(configuration: Configuration, verbose: bool = True, use_nativ
         except Exception:
             native = None
 
+    if native is not None:
+        g_data, l_data, v_data = native.parse_triplet(gp, lp, vp)
+    else:
+        with open(gp) as f:
+            g_data = json.load(f)
+        with open(lp) as f:
+            l_data = json.load(f)
+        with open(vp) as f:
+            v_data = json.load(f)
+
+    local, voxel = process_building(g_data, l_data, v_data, cfg, data_number)
+    save_local(os.path.join(cfg.SAVE_DATA_PATH, f"{data_number}{cfg.LOCAL_DATA_SUFFIX}"), local)
+    save_voxel(os.path.join(cfg.SAVE_DATA_PATH, f"{data_number}{cfg.VOXEL_DATA_SUFFIX}"), voxel)
+    return 1
+
+
+def create_dataset(
+    configuration: Configuration,
+    verbose: bool = True,
+    use_native: bool = True,
+    workers: int = 0,
+) -> int:
+    """Process every raw JSON triplet to NPZ pairs.  Returns count processed.
+
+    Uses the native C++ JSON parser when available (see
+    ``building_gan_tpu/native``) and, with ``workers > 0``, a host-parallel
+    process pool (the reference's only host parallelism was
+    ``DataLoader(num_workers=3)`` at load time, `data.py:180`).
+    """
+    cfg = configuration
+    global_files = _sorted_json_files(cfg.GLOBAL_GRAPH_DATA_PATH)
+    local_files = _sorted_json_files(cfg.LOCAL_GRAPH_DATA_PATH)
+    voxel_files = _sorted_json_files(cfg.VOXEL_GRAPH_DATA_PATH)
+    assert len(global_files) == len(local_files) == len(voxel_files)
+
+    os.makedirs(cfg.SAVE_DATA_PATH, exist_ok=True)
+
+    tasks = [
+        (gp, lp, vp, cfg, use_native)
+        for gp, lp, vp in zip(global_files, local_files, voxel_files)
+    ]
     n = 0
-    for gp, lp, vp in zip(global_files, local_files, voxel_files):
-        num_g = os.path.basename(gp).replace(".json", "").split("_")[-1]
-        num_l = os.path.basename(lp).replace(".json", "").split("_")[-1]
-        num_v = os.path.basename(vp).replace(".json", "").split("_")[-1]
-        assert num_g == num_l == num_v
-        data_number = "".join(s for s in os.path.basename(gp) if s.isdigit())
+    if workers and workers > 1:
+        import multiprocessing as mp
 
-        if native is not None:
-            g_data, l_data, v_data = native.parse_triplet(gp, lp, vp)
-        else:
-            with open(gp) as f:
-                g_data = json.load(f)
-            with open(lp) as f:
-                l_data = json.load(f)
-            with open(vp) as f:
-                v_data = json.load(f)
-
-        local, voxel = process_building(g_data, l_data, v_data, cfg, data_number)
-        save_local(os.path.join(cfg.SAVE_DATA_PATH, f"{data_number}{cfg.LOCAL_DATA_SUFFIX}"), local)
-        save_voxel(os.path.join(cfg.SAVE_DATA_PATH, f"{data_number}{cfg.VOXEL_DATA_SUFFIX}"), voxel)
-        n += 1
-        if verbose and n % 1000 == 0:
-            print(f"processed {n}/{len(global_files)}")
+        with mp.Pool(workers) as pool:
+            for r in pool.imap_unordered(_process_one, tasks, chunksize=32):
+                n += r
+                if verbose and n % 1000 == 0:
+                    print(f"processed {n}/{len(tasks)}")
+    else:
+        for t in tasks:
+            n += _process_one(t)
+            if verbose and n % 1000 == 0:
+                print(f"processed {n}/{len(tasks)}")
     return n

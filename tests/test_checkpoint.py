@@ -1,0 +1,73 @@
+"""Checkpoint tests: msgpack round-trip, quirk-Q11 patching, torch converter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from building_gan_tpu.checkpoint import ckpt
+from building_gan_tpu.checkpoint.torch_compat import (
+    generator_params_to_torch,
+    torch_to_generator_params,
+)
+from building_gan_tpu.data import batching
+from building_gan_tpu.models import VoxelGNNGenerator, VoxelGNNDiscriminator
+from building_gan_tpu.train.state import create_train_state
+
+from test_train import tiny_cfg
+
+
+def _make_state(synthetic_samples, small_cfg):
+    cfg = tiny_cfg(small_cfg)
+    packed = batching.pack_graphs(synthetic_samples[:2], cfg)[0]
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    state, _, _ = create_train_state(cfg, gen, disc, packed, jax.random.key(0), 10)
+    return cfg, state
+
+
+def test_ckpt_roundtrip(tmp_path, synthetic_samples, small_cfg):
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    meta = {"epoch_start": 7, "best_f1_score": 0.5}
+    ckpt.save_states(str(tmp_path), state, meta)
+    assert ckpt.exists(str(tmp_path))
+    restored, meta2 = ckpt.load_states(str(tmp_path), state)
+    assert meta2["epoch_start"] == 7
+    for a, b in zip(jax.tree.leaves(state.params_g), jax.tree.leaves(restored.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ckpt_patch_epoch_start(tmp_path, synthetic_samples, small_cfg):
+    """Quirk Q11: non-improving epochs only advance the resume cursor."""
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    ckpt.save_states(str(tmp_path), state, {"epoch_start": 3, "best_f1_score": 0.9})
+    ckpt.patch_epoch_start(str(tmp_path), 12)
+    restored, meta = ckpt.load_states(str(tmp_path), state)
+    assert meta["epoch_start"] == 12
+    assert meta["best_f1_score"] == 0.9  # best weights/metadata untouched
+
+
+def test_torch_converter_roundtrip(synthetic_samples, small_cfg):
+    """flax -> torch-layout -> flax must be the identity."""
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    params = jax.device_get(state.params_g)
+    sd = generator_params_to_torch(params, cfg)
+    # torch Linear layout: (out, in)
+    assert sd["mlp_encoder.0.weight"].shape[0] == cfg.GENERATOR_HIDDEN_DIM
+    back = torch_to_generator_params(sd, cfg, params)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_converter_key_layout(synthetic_samples, small_cfg):
+    """Spot-check the reference state_dict key names (models.py layout)."""
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    sd = generator_params_to_torch(jax.device_get(state.params_g), cfg)
+    assert "matched_features_encoder.0.weight" in sd
+    assert "encoder.module_0.lin.weight" in sd
+    assert "encoder.module_0.att_src" in sd
+    assert "encoder.module_1.mean_scale" in sd  # GraphNorm
+    assert "decoder.12.weight" in sd  # final 7-class head
+    assert sd["decoder.12.weight"].shape[0] == 7
