@@ -1,0 +1,82 @@
+"""Pallas fused hourglass kernel: parity vs the XLA grid path.
+
+Runs in interpreter mode on CPU (the real-TPU run happens in the benchmark);
+same params, same batch -> same output as GridHourglass(deterministic=True).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from building_gan_tpu.data import grid as gridlib
+from building_gan_tpu.models.grid_layers import GridHourglass
+from building_gan_tpu.ops.pallas.hourglass import (
+    hourglass_channels,
+    hourglass_fwd,
+    pack_gat_weights,
+)
+
+from test_train import tiny_cfg
+
+
+def test_hourglass_channels():
+    chans = hourglass_channels(128, 7)
+    assert chans[0] == (128, 64)
+    assert chans[6] == (2, 1)
+    assert chans[7] == (1, 2)
+    assert chans[-1] == (64, 128)
+    assert len(chans) == 14
+
+
+def test_fused_hourglass_parity(synthetic_samples, small_cfg):
+    cfg = tiny_cfg(
+        small_cfg, GRID_SHAPE=(10, 8, 8), GRID_BATCH=4, GRID_LOCAL_NODES=64,
+        GENERATOR_HIDDEN_DIM=32, GENERATOR_ENCODER_REPEAT=3,
+    )
+    gb = gridlib.pack_grid(synthetic_samples[:4], cfg)
+    b, f, y, x_ = gb.mask.shape
+    c0 = cfg.GENERATOR_HIDDEN_DIM
+
+    rng = np.random.default_rng(0)
+    feats = jnp.array(rng.normal(size=(b, f, y, x_, c0)).astype(np.float32))
+    feats = feats * jnp.array(gb.mask)[..., None]
+    mask = jnp.array(gb.mask)
+
+    hg = GridHourglass(
+        conv_type="GATCONV", hidden_dim=c0, repeat=cfg.GENERATOR_ENCODER_REPEAT,
+    )
+    variables = hg.init({"params": jax.random.key(0)}, feats, mask, True)
+    want = hg.apply(variables, feats, mask, True)
+
+    Ws, atts, vecs = pack_gat_weights(
+        jax.device_get(variables["params"]), c0, cfg.GENERATOR_ENCODER_REPEAT
+    )
+    got = hourglass_fwd(
+        feats, mask, Ws, atts, vecs,
+        hidden_dim=c0, repeat=cfg.GENERATOR_ENCODER_REPEAT,
+        tile=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_hourglass_tile_padding(synthetic_samples, small_cfg):
+    """Batch not divisible by tile: padded buildings must not leak."""
+    cfg = tiny_cfg(
+        small_cfg, GRID_SHAPE=(10, 8, 8), GRID_BATCH=3, GRID_LOCAL_NODES=64,
+        GENERATOR_HIDDEN_DIM=16, GENERATOR_ENCODER_REPEAT=2,
+    )
+    gb = gridlib.pack_grid(synthetic_samples[:3], cfg, batch_slots=3)
+    b, f, y, x_ = gb.mask.shape
+    c0 = 16
+    rng = np.random.default_rng(1)
+    feats = jnp.array(rng.normal(size=(b, f, y, x_, c0)).astype(np.float32))
+    feats = feats * jnp.array(gb.mask)[..., None]
+    mask = jnp.array(gb.mask)
+
+    hg = GridHourglass(conv_type="GATCONV", hidden_dim=c0, repeat=2)
+    variables = hg.init({"params": jax.random.key(1)}, feats, mask, True)
+    want = hg.apply(variables, feats, mask, True)
+    Ws, atts, vecs = pack_gat_weights(jax.device_get(variables["params"]), c0, 2)
+    got = hourglass_fwd(feats, mask, Ws, atts, vecs, hidden_dim=c0, repeat=2, tile=2, interpret=True)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
