@@ -144,6 +144,14 @@ def cmd_sanity(args):
     trainer.train()
 
 
+def cmd_viz(args):
+    from ..viz.raw import render_raw_samples
+
+    cfg = _build_config(args)
+    paths = render_raw_samples(cfg, list(range(args.num)), args.out_dir)
+    print("\n".join(paths))
+
+
 def cmd_test(args):
     trainer = _make_trainer(args, sanity=False)
     trainer.test(num_samples_to_viz=args.num_samples_to_viz, show=args.show)
@@ -174,6 +182,12 @@ def main(argv=None):
     p = sub.add_parser("sanity", help="single-datum overfit harness")
     _add_config_overrides(p)
     p.set_defaults(fn=cmd_sanity)
+
+    p = sub.add_parser("viz", help="render raw buildings from JSON (data-visualization notebook)")
+    p.add_argument("--num", type=int, default=6)
+    p.add_argument("--out-dir", default="viz_out")
+    _add_config_overrides(p)
+    p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("test", help="test-split metrics + qualitative eval")
     p.add_argument("--num-samples-to-viz", type=int, default=10)

@@ -141,6 +141,8 @@ class Configuration:
     USE_WGANGP: bool = True
 
     SANITY_CHECKING: bool = False
+    # reference ctor compatibility: Configuration(sanity_checking=True)
+    sanity_checking: dataclasses.InitVar[bool] = False
 
     # --- TPU-native additions (no reference counterpart) ---
     # Static-shape packing budgets: each packed batch element holds up to
@@ -183,7 +185,9 @@ class Configuration:
     # to the XLA segment-op path off-TPU or for unsupported configs).
     USE_PALLAS: bool = True
 
-    def __post_init__(self):
+    def __post_init__(self, sanity_checking: bool = False):
+        if sanity_checking:
+            self.SANITY_CHECKING = True
         if self.SANITY_CHECKING:
             # Reference behavior (config.py:112-117): sanity mode trains on a
             # single datum with batch size 1.
@@ -191,6 +195,7 @@ class Configuration:
             if self.DATA_POINT is None:
                 self.DATA_POINT = 77
             self.PACK_GRAPHS = 1
+            self.GRID_BATCH = 1
 
     @property
     def SPLIT_RATIOS(self) -> Tuple[float, float, float]:
@@ -217,3 +222,14 @@ class Configuration:
 
     def replace(self, **kwargs) -> "Configuration":
         return dataclasses.replace(self, **kwargs)
+
+    @staticmethod
+    def set_seed(seed: int | None = None) -> None:
+        """Seed host RNGs (reference `config.py:137-157`).
+
+        Device randomness flows through explicit ``jax.random`` keys derived
+        from ``SEED`` (quirk Q9: structure reproduced, not torch's stream).
+        """
+        from .utils.profiling import set_seed as _set_seed
+
+        _set_seed(777 if seed is None else seed)
