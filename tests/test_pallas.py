@@ -80,3 +80,30 @@ def test_fused_hourglass_tile_padding(synthetic_samples, small_cfg):
     Ws, atts, vecs = pack_gat_weights(jax.device_get(variables["params"]), c0, 2)
     got = hourglass_fwd(feats, mask, Ws, atts, vecs, hidden_dim=c0, repeat=2, tile=2, interpret=True)
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fast_infer_parity(synthetic_samples, small_cfg):
+    """fast_infer (fused hourglass) matches the flax generator logits."""
+    from building_gan_tpu.models import GridVoxelGNNGenerator
+    from building_gan_tpu.models import fast_infer
+
+    cfg = tiny_cfg(
+        small_cfg, GRID_SHAPE=(10, 8, 8), GRID_BATCH=2, GRID_LOCAL_NODES=64,
+        GENERATOR_HIDDEN_DIM=32, GENERATOR_ENCODER_REPEAT=2,
+    )
+    gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    key = jax.random.key(0)
+    z = jax.random.normal(key, gb.mask.shape + (cfg.Z_DIM,))
+    variables = gen.init({"params": key, "gumbel": key}, gb, z, deterministic=True)
+    want, want_hard, _ = gen.apply(variables, gb, z, deterministic=True, rngs={"gumbel": key})
+
+    packed = fast_infer.prepare(variables["params"], cfg)
+    got, got_hard, _ = fast_infer.infer(
+        variables["params"], packed, cfg, gb, z, key, tile=2, interpret=True
+    )
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
+    # Gumbel keys differ (flax make_rng folds the module path); just check
+    # the hard sample is a valid one-hot
+    hard = np.array(got_hard)
+    assert np.allclose(hard.sum(axis=-1), 1.0, atol=1e-5)
