@@ -86,47 +86,55 @@ def _row_shift(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _kernel(
-    x_ref,  # (T, R, C0)
+    x_ref,  # (T, R, Cmax) — channel-padded input
     planes_ref,  # (T, R, 8): cols 0-5 neighbor valid, col 6 cell mask
     ws_ref,  # (L, Cmax, Cmax)
     atts_ref,  # (L, 2, Cmax)
     vecs_ref,  # (L, 4, Cmax)
-    out_ref,  # (T, R, C_last)
+    out_ref,  # (T, R, Cmax)
     *,
-    chans: Tuple[Tuple[int, int], ...],
+    num_layers: int,
     offsets: Tuple[int, ...],
     negative_slope: float,
     eps: float,
 ):
-    x = x_ref[:]
+    """Uniform channel-padded layer loop.
+
+    Every layer computes the full Cmax lanes (narrow hourglass layers pad to
+    128 lanes on TPU regardless, so this costs nothing extra); zero-padded
+    weights/att/bias/norm params keep the unused channels *exactly* zero
+    through conv -> GraphNorm -> ReLU, so no channel masks are needed.  A
+    ``fori_loop`` over layers means Mosaic compiles ONE layer body instead of
+    an unrolled 14-layer program.
+    """
     planes = planes_ref[:]
     valid = [planes[:, :, d] for d in range(6)]  # (T, R) each
     mask = planes[:, :, 6]
     cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # (T, 1)
 
-    t, r = x.shape[0], x.shape[1]
+    t, r, cmax = x_ref.shape
 
-    for l, (ci, co) in enumerate(chans):
-        w = ws_ref[l, :ci, :co]
-        att_s = atts_ref[l, 0, :co]
-        att_d = atts_ref[l, 1, :co]
-        bias = vecs_ref[l, 0, :co]
-        gn_w = vecs_ref[l, 1, :co]
-        gn_b = vecs_ref[l, 2, :co]
-        gn_ms = vecs_ref[l, 3, :co]
+    def lrelu(v):
+        return jnp.where(v >= 0, v, negative_slope * v)
+
+    def layer(l, x):
+        w = ws_ref[l]
+        att_s = atts_ref[l, 0]
+        att_d = atts_ref[l, 1]
+        bias = vecs_ref[l, 0]
+        gn_w = vecs_ref[l, 1]
+        gn_b = vecs_ref[l, 2]
+        gn_ms = vecs_ref[l, 3]
 
         h = jax.lax.dot_general(
-            x.reshape(t * r, ci), w,
+            x.reshape(t * r, cmax), w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(t, r, co)
+        ).reshape(t, r, cmax)
 
         a_s = jnp.sum(h * att_s, axis=-1)  # (T, R)
         a_d = jnp.sum(h * att_d, axis=-1)
-
-        def lrelu(v):
-            return jnp.where(v >= 0, v, negative_slope * v)
 
         e_self = lrelu(a_s + a_d)
         m = e_self
@@ -155,8 +163,9 @@ def _kernel(
         var = jnp.sum((centered * centered) * mask[:, :, None], axis=1, keepdims=True) / cnt[:, :, None]
         x = gn_w * centered / jnp.sqrt(var + eps) + gn_b
         x = x * mask[:, :, None]
-        x = jnp.maximum(x, 0.0)  # ReLU
+        return jnp.maximum(x, 0.0)  # ReLU
 
+    x = jax.lax.fori_loop(0, num_layers, layer, x_ref[:])
     out_ref[:] = x
 
 
@@ -184,6 +193,10 @@ def hourglass_fwd(
     r = f * y * xx
     chans = tuple(hourglass_channels(hidden_dim, repeat))
     c_last = chans[-1][1]
+    cmax = max(max(ci, co) for ci, co in chans)
+    assert c0 == cmax and c_last == cmax, (
+        "hourglass first/last channels equal hidden_dim == Cmax by construction"
+    )
 
     # flattened-row shift offset per direction (must mirror DIRECTIONS order)
     off_by_axis = {1: y * xx, 2: xx, 3: 1}
@@ -207,7 +220,7 @@ def hourglass_fwd(
     bp = xf.shape[0]
 
     kernel = functools.partial(
-        _kernel, chans=chans, offsets=offsets,
+        _kernel, num_layers=len(chans), offsets=offsets,
         negative_slope=negative_slope, eps=eps,
     )
     out = pl.pallas_call(

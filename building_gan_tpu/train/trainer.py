@@ -178,6 +178,12 @@ class Trainer:
                 tr["f1_min"] * cfg.F1_SCORE_TRAIN_WEIGHT
                 + va["f1_min"] * cfg.F1_SCORE_VALIDATION_WEIGHT
             )
+            print(
+                f"epoch {epoch}: g_loss={tr['g_loss']:.4f} d_loss={tr['d_loss']:.4f} "
+                f"f1={tr['f1']:.4f}/{va['f1']:.4f} f1_min={tr['f1_min']:.4f}/{va['f1_min']:.4f} "
+                f"acc={tr['accuracy']:.4f}/{va['accuracy']:.4f}",
+                flush=True,
+            )
 
             # same scalar tags as the reference (trainer.py:680-693)
             writer.add_scalar("g_loss_train", tr["g_loss"], epoch)

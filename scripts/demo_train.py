@@ -1,0 +1,64 @@
+"""Demo training run: full reference config on a synthetic 10k-style dataset.
+
+Produces a real `runs/<name>` artifact set (TB events, best-gated
+states.msgpack, image strips) and prints per-epoch metrics — the equivalent of
+the reference's `_base` run on the synthetic dataset (the reference 10k
+dataset ships as an LFS pointer without payload).
+
+Usage: python scripts/demo_train.py [--buildings 2048] [--epochs 60] [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buildings", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--grid-batch", type=int, default=512)
+    ap.add_argument("--root", default="/tmp/bgt_demo")
+    ap.add_argument("--log-dir", default=None)
+    args = ap.parse_args()
+
+    from building_gan_tpu.config import Configuration
+    from building_gan_tpu.data.preprocess import create_dataset
+    from building_gan_tpu.data.pipeline import GraphDataLoaders
+    from building_gan_tpu.data.synthetic import write_dataset
+    from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
+    from building_gan_tpu.train.trainer import Trainer
+
+    raw = os.path.join(args.root, "raw")
+    proc = os.path.join(args.root, "processed")
+    cfg = Configuration(
+        DATA_PATH=raw,
+        SAVE_DATA_PATH=proc,
+        EPOCHS=args.epochs,
+        GRID_SHAPE=(10, 6, 6),
+        GRID_BATCH=args.grid_batch,
+        GRID_LOCAL_NODES=64,
+        LOG_DIR=os.path.join(args.root, "runs"),
+    )
+
+    if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:
+        print(f"synthesizing {args.buildings} buildings...")
+        write_dataset(raw, args.buildings, seed=0)
+        create_dataset(cfg, verbose=True, workers=8)
+
+    loaders = GraphDataLoaders(cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    log_dir = args.log_dir or os.path.join(args.root, "runs", "demo")
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=log_dir)
+    trainer.train()
+    out = trainer.test(num_samples_to_viz=0)
+    print("TEST:", out)
+
+
+if __name__ == "__main__":
+    main()
