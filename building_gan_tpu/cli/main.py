@@ -38,6 +38,7 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pack-local-edges", type=int, default=None)
     p.add_argument("--mesh-data", type=int, default=None, help="data-parallel shards")
     p.add_argument("--layout", default=None, choices=["grid", "edges"], help="compute layout (LAYOUT)")
+    p.add_argument("--generator-arch", default=None, choices=["hourglass", "transformer"], help="GENERATOR_ARCH")
     p.add_argument("--batch-level-matching", action="store_true", help="quirk Q1 parity")
     p.add_argument("--batch-level-graphnorm", action="store_true", help="quirk Q5 parity")
 
@@ -62,6 +63,7 @@ def _build_config(args, sanity: bool = False):
         "pack_local_edges": "PACK_LOCAL_EDGES",
         "mesh_data": "MESH_DATA",
         "layout": "LAYOUT",
+        "generator_arch": "GENERATOR_ARCH",
     }
     overrides = {}
     for arg_name, field in mapping.items():
@@ -125,7 +127,12 @@ def _make_trainer(args, sanity: bool):
         mesh = meshlib.make_mesh(n_dev)
     loaders = GraphDataLoaders(cfg, n_device_batches=None if mesh is None else n_dev)
     if cfg.LAYOUT == "grid":
-        gen = GridVoxelGNNGenerator(configuration=cfg)
+        if cfg.GENERATOR_ARCH == "transformer":
+            from ..models import GridTransformerGenerator
+
+            gen = GridTransformerGenerator(configuration=cfg)
+        else:
+            gen = GridVoxelGNNGenerator(configuration=cfg)
         disc = GridVoxelGNNDiscriminator(configuration=cfg)
     else:
         gen = VoxelGNNGenerator(configuration=cfg)

@@ -126,6 +126,11 @@ class Configuration:
     GENERATOR_CONV_TYPE: str = "GATCONV"
     GENERATOR_ENCODER_REPEAT: int = 7
     GENERATOR_HIDDEN_DIM: int = 128
+    # generator architecture: "hourglass" (reference GNN) or "transformer"
+    # (stretch config #5: global attention over a building's voxel cells)
+    GENERATOR_ARCH: str = "hourglass"
+    TRANSFORMER_LAYERS: int = 4
+    TRANSFORMER_HEADS: int = 4
 
     DISCRIMINATOR_CONV_TYPE: str = "GATCONV"
     DISCRIMINATOR_ENCODER_REPEAT: int = 3

@@ -170,3 +170,40 @@ def test_grid_train_step_runs(synthetic_samples, grid_cfg):
     state2, metrics = step(state, gb, jax.random.key(1))
     for k in ("g_loss", "d_loss", "f1", "f1_min", "accuracy"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_transformer_generator(synthetic_samples, grid_cfg):
+    """Stretch config: graph-transformer generator trains one step."""
+    from building_gan_tpu.models import GridTransformerGenerator, GridVoxelGNNDiscriminator
+    from building_gan_tpu.train.state import create_train_state
+    from building_gan_tpu.train.step import make_train_step
+
+    cfg = grid_cfg.replace(TRANSFORMER_LAYERS=2, TRANSFORMER_HEADS=2, GENERATOR_ARCH="transformer")
+    gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
+    gen = GridTransformerGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    state, tx_g, tx_d = create_train_state(cfg, gen, disc, gb, jax.random.key(0), 10)
+    step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d))
+    state2, metrics = step(state, gb, jax.random.key(1))
+    for k in ("g_loss", "d_loss", "f1", "accuracy"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_transformer_attention_isolated_across_buildings(synthetic_samples, grid_cfg):
+    """A building's logits must not depend on other buildings in the batch."""
+    from building_gan_tpu.models import GridTransformerGenerator
+
+    cfg = grid_cfg.replace(TRANSFORMER_LAYERS=2, TRANSFORMER_HEADS=2)
+    gb2 = gridlib.pack_grid(synthetic_samples[:2], cfg)
+    gb1 = gridlib.pack_grid(synthetic_samples[:1], cfg, batch_slots=2)
+
+    gen = GridTransformerGenerator(configuration=cfg)
+    key = jax.random.key(0)
+    z = jnp.zeros(gb2.mask.shape + (cfg.Z_DIM,))
+    variables = gen.init({"params": key, "gumbel": key}, gb2, z, deterministic=True)
+    la, _, _ = gen.apply(variables, gb2, z, deterministic=True, rngs={"gumbel": key})
+    lb, _, _ = gen.apply(variables, gb1, z, deterministic=True, rngs={"gumbel": key})
+    m0 = np.array(gb2.mask[0]) > 0
+    np.testing.assert_allclose(
+        np.array(la[0])[m0], np.array(lb[0])[m0], rtol=1e-4, atol=1e-5
+    )
