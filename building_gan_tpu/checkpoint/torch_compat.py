@@ -143,6 +143,71 @@ def torch_to_generator_params(state_dict: Dict[str, np.ndarray], cfg, template: 
     return _unflatten(inverse)
 
 
+def discriminator_params_to_torch(params: dict, cfg) -> Dict[str, np.ndarray]:
+    """Flax discriminator params -> reference torch state_dict arrays.
+
+    Reference layout (`models.py:177-225`): ``mlp_encoder.{0,2}`` (Linear,
+    ReLU interleaved), ``encoder.module_{4i}`` convs / ``module_{4i+1}``
+    GraphNorms, ``decoder.{0,2,4,6}`` Linears.
+    """
+    if cfg.DISCRIMINATOR_CONV_TYPE != "GATCONV":
+        raise NotImplementedError("torch conversion implemented for GATCONV only")
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    for path, v in flat.items():
+        name = path[0]
+        if name.startswith("mlp_"):
+            i = int(name.split("_")[-1])
+            base = f"mlp_encoder.{2 * i}"
+            out[f"{base}.weight" if path[1] == "kernel" else f"{base}.bias"] = (
+                v.T if path[1] == "kernel" else v
+            )
+        elif name == "encoder":
+            kind, i = path[1].rsplit("_", 1)
+            i = int(i)
+            if kind == "conv":
+                base = f"encoder.module_{4 * i}"
+                if path[2] == "lin":
+                    out[f"{base}.lin.weight"] = v.T
+                elif path[2] in ("att_src", "att_dst"):
+                    out[f"{base}.{path[2]}"] = v.T[None]
+                elif path[2] == "bias":
+                    out[f"{base}.bias"] = v
+            else:
+                out[f"encoder.module_{4 * i + 1}.{path[2]}"] = v
+        elif name == "dec_out":
+            out["decoder.6.weight" if path[1] == "kernel" else "decoder.6.bias"] = (
+                v.T if path[1] == "kernel" else v
+            )
+        elif name.startswith("dec_"):
+            i = int(name.split("_")[-1])
+            base = f"decoder.{2 * i}"
+            out[f"{base}.weight" if path[1] == "kernel" else f"{base}.bias"] = (
+                v.T if path[1] == "kernel" else v
+            )
+        else:
+            raise KeyError(f"unmapped discriminator param {path}")
+    return out
+
+
+def torch_to_discriminator_params(state_dict: Dict[str, np.ndarray], cfg, template: dict) -> dict:
+    """Reference torch state_dict -> flax discriminator params."""
+    flat_template = _flatten(template)
+    inverse: Dict[tuple, np.ndarray] = {}
+    for path, v in flat_template.items():
+        single = _unflatten({path: v})
+        [(torch_key, mapped)] = discriminator_params_to_torch(single, cfg).items()
+        loaded = np.asarray(state_dict[torch_key])
+        if mapped.shape != loaded.shape:
+            raise ValueError(f"shape mismatch for {torch_key}: {mapped.shape} vs {loaded.shape}")
+        if path[-1] == "kernel":
+            loaded = loaded.T
+        elif path[-1] in ("att_src", "att_dst"):
+            loaded = loaded[0].T
+        inverse[path] = loaded.astype(v.dtype)
+    return _unflatten(inverse)
+
+
 def save_torch_states(path: str, trainer) -> None:
     """Write a torch ``states.pt``-layout checkpoint (requires torch)."""
     import torch
@@ -151,6 +216,13 @@ def save_torch_states(path: str, trainer) -> None:
         k: torch.tensor(np.asarray(v))
         for k, v in generator_params_to_torch(trainer.state.params_g, trainer.configuration).items()
     }
+    disc_sd = {
+        k: torch.tensor(np.asarray(v))
+        for k, v in discriminator_params_to_torch(
+            trainer.state.params_d, trainer.configuration
+        ).items()
+    }
     states = dict(trainer.meta)
     states["generator"] = gen_sd
+    states["discriminator"] = disc_sd
     torch.save(states, path)

@@ -71,3 +71,20 @@ def test_torch_converter_key_layout(synthetic_samples, small_cfg):
     assert "encoder.module_1.mean_scale" in sd  # GraphNorm
     assert "decoder.12.weight" in sd  # final 7-class head
     assert sd["decoder.12.weight"].shape[0] == 7
+
+
+def test_torch_converter_discriminator_roundtrip(synthetic_samples, small_cfg):
+    from building_gan_tpu.checkpoint.torch_compat import (
+        discriminator_params_to_torch,
+        torch_to_discriminator_params,
+    )
+
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    params = jax.device_get(state.params_d)
+    sd = discriminator_params_to_torch(params, cfg)
+    assert "mlp_encoder.0.weight" in sd
+    assert "decoder.6.weight" in sd
+    assert sd["decoder.6.weight"].shape[0] == 1  # critic scalar head
+    back = torch_to_discriminator_params(sd, cfg, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
