@@ -168,6 +168,10 @@ class Configuration:
     GRID_SHAPE: Tuple[int, int, int] = (11, 12, 12)
     GRID_BATCH: int = 64
     GRID_LOCAL_NODES: int = 64
+    # Optional bucketing: route each building to the smallest fitting grid
+    # shape to cut padding waste (one compiled program per bucket).  None =
+    # single GRID_SHAPE bucket.  Example: ((6, 6, 6), (8, 8, 8), (11, 12, 12)).
+    GRID_BUCKETS: Tuple[Tuple[int, int, int], ...] | None = None
     # layout: "grid" (dense stencil fast path) or "edges" (general fallback)
     LAYOUT: str = "grid"
 

@@ -76,6 +76,13 @@ class GraphDataset:
         return len(self.samples)
 
 
+def _same_shapes(a, b) -> bool:
+    import jax
+
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return all(x.shape == y.shape for x, y in zip(la, lb))
+
+
 class PackedLoader:
     """Shuffled epoch iterator yielding static-shape batches.
 
@@ -103,10 +110,13 @@ class PackedLoader:
         if cfg.LAYOUT == "grid":
             from . import grid as gridlib
 
+            max_shape = cfg.GRID_SHAPE
+            if cfg.GRID_BUCKETS:
+                max_shape = max(cfg.GRID_BUCKETS, key=lambda s: s[0] * s[1] * s[2])
             bad = [
                 v.data_number
                 for _, v in self.samples
-                if not gridlib.grid_compatible(v, cfg.GRID_SHAPE)
+                if not gridlib.grid_compatible(v, max_shape)
             ]
             if bad:
                 raise ValueError(
@@ -119,10 +129,35 @@ class PackedLoader:
             from . import grid as gridlib
 
             B = self.cfg.GRID_BATCH
-            return [
-                gridlib.pack_grid(samples[i : i + B], self.cfg)
-                for i in range(0, len(samples), B)
-            ]
+            buckets = self.cfg.GRID_BUCKETS
+            if not buckets:
+                return [
+                    gridlib.pack_grid(samples[i : i + B], self.cfg)
+                    for i in range(0, len(samples), B)
+                ]
+            # route each building to the smallest fitting bucket shape; one
+            # compiled train-step program per bucket shape (XLA caches by
+            # shape), far less padding waste for heterogeneous sizes
+            by_bucket: dict = {tuple(b): [] for b in buckets}
+            ordered = sorted(by_bucket, key=lambda s: s[0] * s[1] * s[2])
+            for s in samples:
+                extent = s[1].location.max(axis=0) + 1
+                for shape in ordered:
+                    if all(int(e) <= d for e, d in zip(extent, shape)):
+                        by_bucket[shape].append(s)
+                        break
+                else:
+                    raise ValueError(
+                        f"building {s[1].data_number} (extent {extent}) fits no "
+                        f"bucket in {buckets}"
+                    )
+            out = []
+            for shape in ordered:
+                group = by_bucket[shape]
+                cfg_b = self.cfg.replace(GRID_SHAPE=tuple(shape))
+                for i in range(0, len(group), B):
+                    out.append(gridlib.pack_grid(group[i : i + B], cfg_b))
+            return out
         return batching.pack_graphs(samples, self.cfg)
 
     def _stack(self, group):
@@ -142,8 +177,18 @@ class PackedLoader:
             yield from packs
             return
         d = self.n_device_batches
-        for i in range(0, len(packs), d):
-            group = packs[i : i + d]
+        # group only same-shape packs (bucketed loaders mix grid shapes)
+        i = 0
+        while i < len(packs):
+            group = [packs[i]]
+            i += 1
+            while (
+                len(group) < d
+                and i < len(packs)
+                and _same_shapes(packs[i], group[0])
+            ):
+                group.append(packs[i])
+                i += 1
             while len(group) < d:  # cycle to fill the stacked shape
                 group.append(group[len(group) % max(len(group), 1) - 1])
             yield self._stack(group)

@@ -150,3 +150,26 @@ def test_trainer_grid_layout(processed_root, tmp_path):
 
     arr = evaluate_qualitatively(trainer, epoch=1, num_samples_to_viz=1, to_tensor=True)
     assert arr.ndim == 3 and arr.shape[0] == 3
+
+
+def test_grid_buckets_routing(processed_root):
+    """Bucketed loader routes buildings to the smallest fitting grid shape."""
+    cfg = processed_root.replace(
+        LAYOUT="grid",
+        GRID_BATCH=4,
+        GRID_LOCAL_NODES=64,
+        GRID_SHAPE=(10, 8, 8),
+        GRID_BUCKETS=((5, 6, 6), (10, 8, 8)),
+    )
+    loaders = GraphDataLoaders(cfg)
+    packs = list(loaders.train_dataloader)
+    shapes = {p.mask.shape[1:4] for p in packs}
+    assert shapes <= {(5, 6, 6), (10, 8, 8)}
+    # every building lands exactly once
+    total = sum(int(p.graph_mask.sum()) for p in packs)
+    assert total == len(loaders.train_indices)
+    # small buildings actually use the small bucket when present
+    extents = [tuple(int(x) for x in v.location.max(axis=0) + 1)
+               for _, v in loaders.train_dataloader.samples]
+    if any(all(a <= b for a, b in zip(e, (5, 6, 6))) for e in extents):
+        assert (5, 6, 6) in shapes
