@@ -83,6 +83,32 @@ def _same_shapes(a, b) -> bool:
     return all(x.shape == y.shape for x, y in zip(la, lb))
 
 
+def prefetch(iterable, size: int = 2):
+    """Background-thread prefetch: overlap host batch packing with device
+    compute (the reference used ``DataLoader(num_workers=3)`` for the same
+    purpose, `data.py:180`)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 class PackedLoader:
     """Shuffled epoch iterator yielding static-shape batches.
 

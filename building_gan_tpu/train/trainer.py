@@ -27,7 +27,7 @@ import numpy as np
 
 from ..checkpoint import ckpt
 from ..config import Configuration
-from ..data.pipeline import GraphDataLoaders
+from ..data.pipeline import GraphDataLoaders, prefetch
 from ..parallel import dp, mesh as meshlib
 from .state import TrainState, create_train_state
 from .step import make_eval_step, make_train_step
@@ -118,7 +118,7 @@ class Trainer:
         f1_min = np.inf
         n = 0
         base = jax.random.fold_in(jax.random.key(self.configuration.SEED), epoch)
-        for i, batch in enumerate(self.dataloaders.train_dataloader):
+        for i, batch in enumerate(prefetch(self.dataloaders.train_dataloader)):
             self.state, metrics = self.train_step(self.state, batch, jax.random.fold_in(base, i))
             metrics = jax.device_get(metrics)
             for k in ("g_loss", "d_loss", "f1", "precision", "recall", "accuracy"):
