@@ -16,9 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-import sys
 
 
 def _add_config_overrides(p: argparse.ArgumentParser) -> None:

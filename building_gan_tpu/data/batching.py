@@ -18,12 +18,12 @@ Padding conventions (consumed by `building_gan_tpu.ops`):
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 from flax import struct
 
-from ..config import Configuration, NUM_CLASSES
+from ..config import Configuration
 from .preprocess import LocalGraph, VoxelGraph
 
 

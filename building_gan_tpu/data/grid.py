@@ -22,12 +22,12 @@ edge-list path.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from flax import struct
 
-from ..config import Configuration, NUM_CLASSES
+from ..config import Configuration
 from .preprocess import LocalGraph, VoxelGraph
 
 

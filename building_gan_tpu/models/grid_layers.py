@@ -8,7 +8,7 @@ Compute runs over dense ``(B, F, Y, X, C)`` blocks via `ops.stencil`.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ optimizer update — the ICI all-reduce the reference has no counterpart for
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -28,8 +28,8 @@ import numpy as np
 from ..checkpoint import ckpt
 from ..config import Configuration
 from ..data.pipeline import GraphDataLoaders, prefetch
-from ..parallel import dp, mesh as meshlib
-from .state import TrainState, create_train_state
+from ..parallel import dp
+from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
 

@@ -10,10 +10,8 @@ coordinate, floor), and asserts ``far == GFA / site_area`` per building
 from __future__ import annotations
 
 import json
-import os
 from collections import Counter
 
-import numpy as np
 
 from ..config import Configuration, NUM_CLASSES, PROGRAM_NAMES, VOID, VOID_OLD
 from ..data.preprocess import _sorted_json_files

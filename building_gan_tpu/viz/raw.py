@@ -12,7 +12,7 @@ import json
 import os
 from typing import Optional
 
-from ..config import COLORS, PROGRAM_NAMES, VOID, VOID_OLD
+from ..config import COLORS, VOID, VOID_OLD
 from .render import _voxel_faces
 
 

@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..config import COLORS, NUM_CLASSES, PROGRAM_NAMES, VOID
+from ..config import COLORS, PROGRAM_NAMES, VOID
 from ..data.batching import pack_one
 from ..train.metrics import compute_metrics
 
