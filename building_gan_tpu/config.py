@@ -190,9 +190,11 @@ class Configuration:
     # Q5: reference GraphNorm normalizes across the merged batch (no batch
     # vector).  False = per-graph GraphNorm (recommended); True = batch-level.
     BATCH_LEVEL_GRAPHNORM: bool = False
-    # Use the fused Pallas message-passing kernel where available (falls back
-    # to the XLA segment-op path off-TPU or for unsupported configs).
-    USE_PALLAS: bool = True
+    # Reserve: opt into the fused Pallas hourglass for deterministic grid
+    # inference (ops/pallas/hourglass.py).  Off by default — the XLA grid path
+    # is already fast and the fused kernel's full-size compile is impractical
+    # through this environment's remote-compile tunnel (docs/PALLAS.md).
+    USE_PALLAS: bool = False
 
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:

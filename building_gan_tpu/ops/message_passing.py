@@ -24,8 +24,6 @@ extra edges are materialized.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -61,16 +59,6 @@ def gat_aggregate_xla(
     return num / jnp.maximum(denom, 1e-16)[:, None]
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_available() -> bool:
-    try:
-        import jax
-
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
-
-
 def gat_aggregate(
     h: jnp.ndarray,
     a_src: jnp.ndarray,
@@ -79,15 +67,12 @@ def gat_aggregate(
     dst: jnp.ndarray,
     edge_mask: jnp.ndarray,
     negative_slope: float = 0.2,
-    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Dispatching entry point used by the model layers."""
-    if use_pallas is None:
-        use_pallas = False  # flipped on once the Pallas kernel lands & is vetted
-    if use_pallas and _pallas_available():
-        from .pallas.gat_kernel import gat_aggregate_pallas
+    """Entry point used by the edge-list model layers.
 
-        return gat_aggregate_pallas(
-            h, a_src, a_dst, src, dst, edge_mask, negative_slope=negative_slope
-        )
+    The fused Pallas kernel exists for the *grid* layout
+    (`ops/pallas/hourglass.py` — the flagship path, where the hot op lives);
+    the general edge-list path stays on XLA segment ops (see docs/PALLAS.md
+    for the measured rationale).
+    """
     return gat_aggregate_xla(h, a_src, a_dst, src, dst, edge_mask, negative_slope)
