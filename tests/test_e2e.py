@@ -173,3 +173,22 @@ def test_grid_buckets_routing(processed_root):
                for _, v in loaders.train_dataloader.samples]
     if any(all(a <= b for a, b in zip(e, (5, 6, 6))) for e in extents):
         assert (5, 6, 6) in shapes
+
+
+@pytest.mark.slow
+def test_trainer_grid_buckets(processed_root, tmp_path):
+    """Trainer trains across multiple grid-bucket shapes (one program each)."""
+    from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
+
+    cfg = small_train_cfg(
+        processed_root, tmp_path / "runb",
+        LAYOUT="grid", GRID_SHAPE=(10, 8, 8), GRID_BATCH=4, GRID_LOCAL_NODES=64,
+        GRID_BUCKETS=((5, 6, 6), (10, 8, 8)), EPOCHS=1,
+    )
+    loaders = GraphDataLoaders(cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    trainer = Trainer(gen, disc, loaders, cfg, log_dir=str(tmp_path / "runb"))
+    trainer.train()
+    out = trainer.test(num_samples_to_viz=0)
+    assert 0.0 <= out["f1"] <= 1.0
