@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--grid-batch", type=int, default=512)
     ap.add_argument("--root", default="/tmp/bgt_demo")
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--batch-level-quirks", action="store_true",
+                    help="reference parity mode: Q1 batch-level matching + Q5 batch-level GraphNorm")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -43,6 +45,8 @@ def main():
         GRID_BATCH=args.grid_batch,
         GRID_LOCAL_NODES=64,
         LOG_DIR=os.path.join(args.root, "runs"),
+        BATCH_LEVEL_MATCHING=args.batch_level_quirks,
+        BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
     )
 
     if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:
