@@ -168,6 +168,11 @@ class Configuration:
     GRID_SHAPE: Tuple[int, int, int] = (11, 12, 12)
     GRID_BATCH: int = 64
     GRID_LOCAL_NODES: int = 64
+    # Max buildings 3D-bin-packed into one grid slot (1-cell gaps, per-cell
+    # graph-id planes — data/grid.py pack_grid_multi).  1 = one building per
+    # slot (pack_grid).  Raising this cuts padding waste: real buildings fill
+    # ~25% of an (11,12,12) slot alone.
+    GRID_SLOT_GRAPHS: int = 1
     # Optional bucketing: route each building to the smallest fitting grid
     # shape to cut padding waste (one compiled program per bucket).  None =
     # single GRID_SHAPE bucket.  Example: ((6, 6, 6), (8, 8, 8), (11, 12, 12)).
@@ -207,6 +212,19 @@ class Configuration:
                 self.DATA_POINT = 77
             self.PACK_GRAPHS = 1
             self.GRID_BATCH = 1
+
+    @property
+    def compute_dtype(self):
+        """Activation/matmul dtype (COMPUTE_DTYPE); params stay PARAM_DTYPE."""
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.COMPUTE_DTYPE)
+
+    @property
+    def param_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.PARAM_DTYPE)
 
     @property
     def SPLIT_RATIOS(self) -> Tuple[float, float, float]:

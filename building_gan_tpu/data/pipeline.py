@@ -83,6 +83,21 @@ def _same_shapes(a, b) -> bool:
     return all(x.shape == y.shape for x, y in zip(la, lb))
 
 
+def null_like(pack):
+    """An all-masked-out pack of the same static shape.
+
+    Used to complete epoch tails to a multiple of the device-stack size.
+    Every mask (voxel/local/graph) is zero, so the weighted cross-device
+    aggregation in `train/step.py` gives these packs exactly zero gradient
+    and metric weight — no duplicated-batch double counting.  ``site_area``
+    stays 1 to keep FAR division benign.
+    """
+    import jax
+
+    zero = jax.tree.map(np.zeros_like, pack)
+    return zero.replace(site_area=np.ones_like(np.asarray(pack.site_area)))
+
+
 def prefetch(iterable, size: int = 2):
     """Background-thread prefetch: overlap host batch packing with device
     compute (the reference used ``DataLoader(num_workers=3)`` for the same
@@ -156,6 +171,16 @@ class PackedLoader:
 
             B = self.cfg.GRID_BATCH
             buckets = self.cfg.GRID_BUCKETS
+            if self.cfg.GRID_SLOT_GRAPHS > 1:
+                # 3D bin packing: several buildings per slot with 1-cell gaps
+                # (shuffle upstream already randomized the composition)
+                slots = gridlib.plan_packing_slots(samples, self.cfg)
+                return [
+                    gridlib.pack_grid_multi_from_slots(
+                        samples, slots[i : i + B], self.cfg, batch_slots=B
+                    )
+                    for i in range(0, len(slots), B)
+                ]
             if not buckets:
                 return [
                     gridlib.pack_grid(samples[i : i + B], self.cfg)
@@ -215,8 +240,8 @@ class PackedLoader:
             ):
                 group.append(packs[i])
                 i += 1
-            while len(group) < d:  # cycle to fill the stacked shape
-                group.append(group[len(group) % max(len(group), 1) - 1])
+            while len(group) < d:  # complete the stacked shape with null packs
+                group.append(null_like(group[0]))
             yield self._stack(group)
 
     def num_packs_per_epoch(self) -> int:

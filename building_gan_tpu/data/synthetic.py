@@ -45,22 +45,51 @@ from ..config import (
 )
 
 
-def _irregular_divisions(rng: np.random.Generator, n: int, min_d: int = 3, max_d: int = 11) -> List[int]:
-    """n cell widths, each in [min_d, max_d] (reference dims range 3-11)."""
-    return [int(rng.integers(min_d, max_d + 1)) for _ in range(n)]
+def _irregular_divisions(
+    rng: np.random.Generator,
+    n: int,
+    min_d: int = 3,
+    max_d: int = 11,
+    budget: int | None = None,
+) -> List[int]:
+    """n cell widths, each in [min_d, max_d] (reference dims range 3-11).
+
+    With ``budget``, the total extent is kept <= budget (the reference
+    coordinate range is 0-42, `analyze.py:104-106`), shrinking the per-cell
+    cap as cells are consumed.
+    """
+    divs = []
+    remaining = budget if budget is not None else n * max_d
+    for i in range(n):
+        cap = max_d if budget is None else min(max_d, remaining - min_d * (n - i - 1))
+        cap = max(cap, min_d)
+        divs.append(int(rng.integers(min_d, cap + 1)))
+        remaining -= divs[-1]
+    return divs
 
 
-def generate_building(seed: int) -> Tuple[dict, dict, dict]:
-    """Generate one building: (global_json, local_json, voxel_json) dicts."""
+def generate_building(
+    seed: int,
+    nx_range: Tuple[int, int] = (3, 6),
+    ny_range: Tuple[int, int] = (3, 6),
+    nf_range: Tuple[int, int] = (3, 10),
+    coordinate_budget: int | None = None,
+) -> Tuple[dict, dict, dict]:
+    """Generate one building: (global_json, local_json, voxel_json) dicts.
+
+    Ranges are inclusive.  Defaults produce small test buildings (<= 10
+    floors x 6 x 6 cells); see :func:`generate_building_real_scale` for
+    reference-statistics-scale buildings.
+    """
     rng = np.random.default_rng(seed)
 
-    nx = int(rng.integers(3, 7))
-    ny = int(rng.integers(3, 7))
-    n_floors = int(rng.integers(3, 11))  # floor levels 0 .. n_floors-1 (max 10)
+    nx = int(rng.integers(nx_range[0], nx_range[1] + 1))
+    ny = int(rng.integers(ny_range[0], ny_range[1] + 1))
+    n_floors = int(rng.integers(nf_range[0], nf_range[1] + 1))
 
-    x_divs = _irregular_divisions(rng, nx)
-    y_divs = _irregular_divisions(rng, ny)
-    z_divs = [int(rng.integers(3, 5)) for _ in range(n_floors)]
+    x_divs = _irregular_divisions(rng, nx, budget=coordinate_budget)
+    y_divs = _irregular_divisions(rng, ny, budget=coordinate_budget)
+    z_divs = _irregular_divisions(rng, n_floors, min_d=3, max_d=4, budget=coordinate_budget)
 
     x_offsets = np.concatenate([[0], np.cumsum(x_divs)])
     y_offsets = np.concatenate([[0], np.cumsum(y_divs)])
@@ -194,6 +223,19 @@ def generate_building(seed: int) -> Tuple[dict, dict, dict]:
     local_json = {"node": local_nodes}
     voxel_json = {"voxel_node": voxel_nodes}
     return global_json, local_json, voxel_json
+
+
+def generate_building_real_scale(seed: int) -> Tuple[dict, dict, dict]:
+    """A building matching the REFERENCE dataset statistics (`analyze.py:99-110`):
+    grids up to (11, 12, 12), ~400 voxel nodes on average, coordinates <= 42.
+    """
+    return generate_building(
+        seed,
+        nx_range=(4, 12),
+        ny_range=(4, 12),
+        nf_range=(3, 11),
+        coordinate_budget=42,
+    )
 
 
 def write_dataset(root: str, num_buildings: int, seed: int = 0) -> None:

@@ -21,11 +21,12 @@ class VoxelGNNDiscriminator(nn.Module):
     """Critic: (packed batch, label one-hot) -> per-voxel-node score (NV, 1)."""
 
     configuration: Configuration
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch, label: jnp.ndarray, deterministic: bool = False):
         cfg = self.configuration
+        dtype = cfg.compute_dtype if self.dtype is None else self.dtype
         num_graphs = batch.graph_mask.shape[0]
 
         # type-matched pooling (reference models.py:230-237)
@@ -43,11 +44,11 @@ class VoxelGNNDiscriminator(nn.Module):
         # input concat [matched(17), voxel.x(12), label(7)] = 36 -> MLP 64
         # (models.py:177-185, 239-240)
         x = jnp.concatenate(
-            [matched_x.astype(self.dtype), batch.voxel_x.astype(self.dtype), label.astype(self.dtype)],
+            [matched_x.astype(dtype), batch.voxel_x.astype(dtype), label.astype(dtype)],
             axis=-1,
         )
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_0")(x))
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_1")(x))
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
 
         # hourglass GNN 64->32->16->8->...->64 (models.py:187-210)
         encoded = HourglassGNN(
@@ -56,7 +57,7 @@ class VoxelGNNDiscriminator(nn.Module):
             repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
-            dtype=self.dtype,
+            dtype=dtype,
             name="encoder",
         )(
             x,
@@ -73,8 +74,9 @@ class VoxelGNNDiscriminator(nn.Module):
         d = cfg.DISCRIMINATOR_HIDDEN_DIM
         out = encoded
         for i, feat in enumerate([d // 2, d // 4, d // 8]):
-            out = nn.relu(nn.Dense(feat, dtype=self.dtype, name=f"dec_{i}")(out))
-        score = nn.Dense(1, dtype=self.dtype, name="dec_out")(out)
+            out = nn.relu(nn.Dense(feat, dtype=dtype, name=f"dec_{i}")(out))
+        # critic scores in f32: WGAN means/GP norms need exact accumulation
+        score = nn.Dense(1, dtype=dtype, name="dec_out")(out).astype(jnp.float32)
         if not cfg.USE_WGANGP:
             score = nn.sigmoid(score)
         return score

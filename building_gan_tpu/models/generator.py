@@ -35,11 +35,12 @@ class VoxelGNNGenerator(nn.Module):
     """
 
     configuration: Configuration
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch, z: jnp.ndarray, deterministic: bool = False):
         cfg = self.configuration
+        dtype = cfg.compute_dtype if self.dtype is None else self.dtype
         num_graphs = batch.graph_mask.shape[0]
 
         # (a) cross-graph type-matched pooling (reference models.py:122-129)
@@ -55,18 +56,18 @@ class VoxelGNNGenerator(nn.Module):
         )
 
         # (b) local-feature MLP encoder: 17 -> 128, 5 blocks (models.py:33-47)
-        h = matched_x.astype(self.dtype)
+        h = matched_x.astype(dtype)
         for i in range(1 + cfg.LOCAL_GRAPH_ENCODER_REPEAT):
-            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=self.dtype, name=f"matched_enc_{i}")(h)
+            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, name=f"matched_enc_{i}")(h)
         encoded_matched = h
 
         # (c) combined MLP encoder: [enc(128), voxel.x(12), z(128)] -> 128
         # (models.py:49-66, 135-143)
-        voxel_x = batch.voxel_x.astype(self.dtype)
-        z = z.astype(self.dtype)
+        voxel_x = batch.voxel_x.astype(dtype)
+        z = z.astype(dtype)
         x = jnp.concatenate([encoded_matched, voxel_x, z], axis=-1)
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
-            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=self.dtype, name=f"mlp_enc_{i}")(x)
+            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(x)
 
         # (d) hourglass GNN over the voxel graph (models.py:68-90, 144)
         encoded = HourglassGNN(
@@ -75,7 +76,7 @@ class VoxelGNNGenerator(nn.Module):
             repeat=cfg.GENERATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
-            dtype=self.dtype,
+            dtype=dtype,
             name="encoder",
         )(
             x,
@@ -93,8 +94,9 @@ class VoxelGNNGenerator(nn.Module):
         d = cfg.GENERATOR_HIDDEN_DIM
         out = final
         for i, feat in enumerate([d, d // 2, d // 4, d // 8]):
-            out = MLPBlock(feat, dtype=self.dtype, name=f"dec_{i}")(out)
-        logits = nn.Dense(NUM_CLASSES, dtype=self.dtype, name="dec_out")(out)
+            out = MLPBlock(feat, dtype=dtype, name=f"dec_{i}")(out)
+        logits = nn.Dense(NUM_CLASSES, dtype=dtype, name="dec_out")(out)
+        logits = logits.astype(jnp.float32)  # head math (softmax/CE/Gumbel) in f32
 
         # (f) ST-Gumbel head (models.py:150-154)
         key = self.make_rng("gumbel")

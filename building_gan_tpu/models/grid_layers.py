@@ -20,7 +20,9 @@ from ..ops import stencil
 class GridGraphNorm(nn.Module):
     """GraphNorm over grid cells; per-graph stats (or whole-batch for quirk Q5).
 
-    Parameter-compatible with `layers.GraphNorm`.
+    Parameter-compatible with `layers.GraphNorm`.  With multi-building slots
+    (``gid`` given, K>1), statistics are per (slot, building) via one-hot
+    matmuls over the gid plane — still gather-free.
     """
 
     features: int
@@ -29,26 +31,48 @@ class GridGraphNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        gid: jnp.ndarray | None = None,
+        num_graphs: int = 1,
+    ) -> jnp.ndarray:
         weight = self.param("weight", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (self.features,))
 
-        m = mask[..., None]
+        out_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stats in f32 regardless of compute dtype
+        m = mask.astype(jnp.float32)[..., None]
         if self.batch_level:
-            axes = tuple(range(x.ndim - 1))  # all cell axes incl. batch
             denom = jnp.maximum(jnp.sum(mask), 1.0)
+            axes = tuple(range(x.ndim - 1))  # all cell axes incl. batch
+            mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
+            out = x - mean * mean_scale
+            var = jnp.sum((out * out) * m, axis=axes, keepdims=True) / denom
+        elif gid is not None and num_graphs > 1:
+            # per-(slot, building) stats keyed on the gid plane
+            oh = jax.nn.one_hot(gid, num_graphs, dtype=jnp.float32)  # (B,F,Y,X,K)
+            oh = oh * m
+            counts = jnp.maximum(jnp.sum(oh, axis=(1, 2, 3)), 1.0)  # (B,K)
+            sums = jnp.einsum("bfyxk,bfyxc->bkc", oh, x)
+            mean = sums / counts[..., None]
+            mean_cell = jnp.einsum("bfyxk,bkc->bfyxc", oh, mean)
+            out = x - mean_cell * mean_scale
+            var = jnp.einsum("bfyxk,bfyxc->bkc", oh, out * out) / counts[..., None]
+            var = jnp.einsum("bfyxk,bkc->bfyxc", oh, var)
         else:
             axes = tuple(range(1, x.ndim - 1))  # per-graph cell axes
             denom = jnp.maximum(
                 jnp.sum(mask, axis=tuple(range(1, mask.ndim)), keepdims=False), 1.0
             )[:, None, None, None, None][:, 0, 0, 0, :]
             denom = denom.reshape((-1,) + (1,) * (x.ndim - 2) + (1,))
-        mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
-        out = x - mean * mean_scale
-        var = jnp.sum((out * out) * m, axis=axes, keepdims=True) / denom
+            mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
+            out = x - mean * mean_scale
+            var = jnp.sum((out * out) * m, axis=axes, keepdims=True) / denom
         std = jnp.sqrt(var + self.eps)
-        return (weight * out / std + bias) * m
+        return ((weight * out / std + bias) * m).astype(out_dtype)
 
 
 class GridGATConv(nn.Module):
@@ -65,10 +89,14 @@ class GridGATConv(nn.Module):
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (self.features, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        a_src = jnp.einsum("...c,cd->...d", h, att_src)[..., 0]
-        a_dst = jnp.einsum("...c,cd->...d", h, att_dst)[..., 0]
+        a_src = jnp.einsum(
+            "...c,cd->...d", h, att_src.astype(h.dtype), preferred_element_type=jnp.float32
+        )[..., 0]
+        a_dst = jnp.einsum(
+            "...c,cd->...d", h, att_dst.astype(h.dtype), preferred_element_type=jnp.float32
+        )[..., 0]
         out = stencil.stencil_gat(h, a_src, a_dst, mask, negative_slope=self.negative_slope)
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 class GridGATv2Conv(nn.Module):
@@ -87,7 +115,7 @@ class GridGATv2Conv(nn.Module):
         out = stencil.stencil_gatv2(
             h_l, h_r, att[:, 0], mask, negative_slope=self.negative_slope
         )
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 class GridGCNConv(nn.Module):
@@ -100,7 +128,8 @@ class GridGCNConv(nn.Module):
     def __call__(self, x, mask):
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return stencil.stencil_gcn(h, mask) + bias
+        out = stencil.stencil_gcn(h, mask)
+        return out + bias.astype(out.dtype)
 
 
 class GridGraphConv(nn.Module):
@@ -136,7 +165,7 @@ class GridHourglass(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool):
+    def __call__(self, x, mask, deterministic: bool, gid=None, num_graphs: int = 1):
         conv_cls = GRID_CONV_REGISTRY[self.conv_type]
         channels = []
         c = self.hidden_dim
@@ -154,7 +183,7 @@ class GridHourglass(nn.Module):
                 batch_level=self.batch_level_graphnorm,
                 dtype=self.dtype,
                 name=f"norm_{i}",
-            )(x, mask)
+            )(x, mask, gid=gid, num_graphs=num_graphs)
             x = nn.relu(x)
             x = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(x)
         return x
@@ -167,12 +196,30 @@ def grid_type_matched_pooling(
     voxel_type: jnp.ndarray,  # (B, F, Y, X)
     num_classes: int,
     batch_level: bool = False,
+    local_gid: jnp.ndarray | None = None,  # (B, NL) building index within slot
+    gid: jnp.ndarray | None = None,  # (B, F, Y, X)
+    num_graphs: int = 1,
 ) -> jnp.ndarray:
     """Type-matched pooling on the grid layout (reference models.py:122-129).
 
     Builds a per-(graph, type) mean table with one einsum and reads it back
-    with a one-hot matmul — no gathers.
+    with a one-hot matmul — no gathers.  Multi-building slots key the table
+    jointly on (building, type) via the gid planes.
     """
+    if gid is not None and num_graphs > 1 and not batch_level:
+        # joint (building, type) key: one-hot over K*T channels
+        kt = num_graphs * num_classes
+        key_l = local_gid * num_classes + local_type
+        onehot_l = jax.nn.one_hot(key_l, kt, dtype=local_x.dtype)  # (B,NL,KT)
+        onehot_l = onehot_l * local_mask[..., None]
+        sums = jnp.einsum("bnt,bnc->btc", onehot_l, local_x * local_mask[..., None])
+        counts = jnp.sum(onehot_l, axis=1)  # (B, KT)
+        table = sums / jnp.maximum(counts, 1.0)[..., None]
+        table = table * (counts > 0)[..., None]
+        key_v = gid * num_classes + voxel_type
+        onehot_v = jax.nn.one_hot(key_v, kt, dtype=local_x.dtype)  # (B,F,Y,X,KT)
+        return jnp.einsum("bfyxt,btc->bfyxc", onehot_v, table)
+
     onehot_l = jax.nn.one_hot(local_type, num_classes, dtype=local_x.dtype)  # (B,NL,T)
     onehot_l = onehot_l * local_mask[..., None]
     sums = jnp.einsum("bnt,bnc->btc", onehot_l, local_x * local_mask[..., None])

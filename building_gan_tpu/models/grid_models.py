@@ -19,34 +19,43 @@ from .layers import MLPBlock
 
 
 class GridVoxelGNNGenerator(nn.Module):
-    """Generator over a :class:`GridBatch`: -> (logits, label_hard, label_soft)."""
+    """Generator over a :class:`GridBatch`: -> (logits, label_hard, label_soft).
+
+    Compute dtype follows ``configuration.COMPUTE_DTYPE`` (bf16 by default —
+    the MXU fast path); parameters stay float32.  Pass ``dtype`` explicitly to
+    override (e.g. float32 for strict parity tests).
+    """
 
     configuration: Configuration
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch, z: jnp.ndarray, deterministic: bool = False):
         cfg = self.configuration
+        dtype = cfg.compute_dtype if self.dtype is None else self.dtype
 
         matched_x = grid_type_matched_pooling(
-            batch.local_x.astype(self.dtype),
+            batch.local_x.astype(dtype),
             batch.local_type,
             batch.local_mask,
             batch.type,
             NUM_CLASSES,
             batch_level=cfg.BATCH_LEVEL_MATCHING,
+            local_gid=batch.local_gid,
+            gid=batch.gid,
+            num_graphs=batch.graphs_per_slot,
         )
 
         h = matched_x
         for i in range(1 + cfg.LOCAL_GRAPH_ENCODER_REPEAT):
-            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=self.dtype, name=f"matched_enc_{i}")(h)
+            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, name=f"matched_enc_{i}")(h)
         encoded_matched = h
 
-        voxel_x = batch.x.astype(self.dtype)
-        z = z.astype(self.dtype)
+        voxel_x = batch.x.astype(dtype)
+        z = z.astype(dtype)
         x = jnp.concatenate([encoded_matched, voxel_x, z], axis=-1)
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
-            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=self.dtype, name=f"mlp_enc_{i}")(x)
+            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(x)
 
         encoded = GridHourglass(
             conv_type=cfg.GENERATOR_CONV_TYPE,
@@ -54,16 +63,18 @@ class GridVoxelGNNGenerator(nn.Module):
             repeat=cfg.GENERATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
-            dtype=self.dtype,
+            dtype=dtype,
             name="encoder",
-        )(x, batch.mask, deterministic)
+        )(x, batch.mask, deterministic, gid=batch.gid, num_graphs=batch.graphs_per_slot)
 
         final = jnp.concatenate([encoded, x, encoded_matched, voxel_x, z], axis=-1)
         d = cfg.GENERATOR_HIDDEN_DIM
         out = final
         for i, feat in enumerate([d, d // 2, d // 4, d // 8]):
-            out = MLPBlock(feat, dtype=self.dtype, name=f"dec_{i}")(out)
-        logits = nn.Dense(NUM_CLASSES, dtype=self.dtype, name="dec_out")(out)
+            out = MLPBlock(feat, dtype=dtype, name=f"dec_{i}")(out)
+        # head in f32: logits feed softmax/CE/Gumbel where bf16 rounding bites
+        logits = nn.Dense(NUM_CLASSES, dtype=dtype, name="dec_out")(out)
+        logits = logits.astype(jnp.float32)
 
         key = self.make_rng("gumbel")
         label_hard, label_soft = gumbel_softmax_st(logits, key, tau=1.0)
@@ -74,26 +85,30 @@ class GridVoxelGNNDiscriminator(nn.Module):
     """Critic over a :class:`GridBatch`: (batch, label) -> (B, F, Y, X, 1)."""
 
     configuration: Configuration
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch, label: jnp.ndarray, deterministic: bool = False):
         cfg = self.configuration
+        dtype = cfg.compute_dtype if self.dtype is None else self.dtype
 
         matched_x = grid_type_matched_pooling(
-            batch.local_x.astype(self.dtype),
+            batch.local_x.astype(dtype),
             batch.local_type,
             batch.local_mask,
             batch.type,
             NUM_CLASSES,
             batch_level=cfg.BATCH_LEVEL_MATCHING,
+            local_gid=batch.local_gid,
+            gid=batch.gid,
+            num_graphs=batch.graphs_per_slot,
         )
 
         x = jnp.concatenate(
-            [matched_x, batch.x.astype(self.dtype), label.astype(self.dtype)], axis=-1
+            [matched_x, batch.x.astype(dtype), label.astype(dtype)], axis=-1
         )
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_0")(x))
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=self.dtype, name="mlp_1")(x))
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
+        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
 
         encoded = GridHourglass(
             conv_type=cfg.DISCRIMINATOR_CONV_TYPE,
@@ -101,15 +116,16 @@ class GridVoxelGNNDiscriminator(nn.Module):
             repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
-            dtype=self.dtype,
+            dtype=dtype,
             name="encoder",
-        )(x, batch.mask, deterministic)
+        )(x, batch.mask, deterministic, gid=batch.gid, num_graphs=batch.graphs_per_slot)
 
         d = cfg.DISCRIMINATOR_HIDDEN_DIM
         out = encoded
         for i, feat in enumerate([d // 2, d // 4, d // 8]):
-            out = nn.relu(nn.Dense(feat, dtype=self.dtype, name=f"dec_{i}")(out))
-        score = nn.Dense(1, dtype=self.dtype, name="dec_out")(out)
+            out = nn.relu(nn.Dense(feat, dtype=dtype, name=f"dec_{i}")(out))
+        # critic scores in f32: WGAN means/GP norms need exact accumulation
+        score = nn.Dense(1, dtype=dtype, name="dec_out")(out).astype(jnp.float32)
         if not cfg.USE_WGANGP:
             score = nn.sigmoid(score)
         return score

@@ -72,7 +72,9 @@ class GraphNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (self.features,))
 
-        w = None if mask is None else mask
+        out_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stats in f32 regardless of compute dtype
+        w = None if mask is None else mask.astype(jnp.float32)
         if segment_ids is None:
             if w is None:
                 mean = jnp.mean(x, axis=0, keepdims=True)
@@ -92,7 +94,7 @@ class GraphNorm(nn.Module):
             var = seg.segment_mean(out * out, segment_ids, num_segments, weights=w)
             var = var[segment_ids]
         std = jnp.sqrt(var + self.eps)
-        return weight * out / std + bias
+        return (weight * out / std + bias).astype(out_dtype)
 
 
 class GATConv(nn.Module):

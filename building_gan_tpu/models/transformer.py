@@ -49,9 +49,11 @@ class GridSelfAttention(nn.Module):
             return t.reshape(b, r, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(head_dim))
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(head_dim))
         scores = jnp.where(mask[:, None, None, :] > 0, scores, _NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, r, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -83,34 +85,35 @@ class GridTransformerGenerator(nn.Module):
     """Generator with global attention: (batch, z) -> (logits, hard, soft)."""
 
     configuration: Configuration
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch, z: jnp.ndarray, deterministic: bool = False):
         cfg = self.configuration
+        dtype = cfg.compute_dtype if self.dtype is None else self.dtype
         b, f, y, x_, _ = batch.x.shape
         r = f * y * x_
 
         matched_x = grid_type_matched_pooling(
-            batch.local_x.astype(self.dtype), batch.local_type, batch.local_mask,
+            batch.local_x.astype(dtype), batch.local_type, batch.local_mask,
             batch.type, NUM_CLASSES, batch_level=cfg.BATCH_LEVEL_MATCHING,
         )
 
         h = matched_x
         for i in range(1 + cfg.LOCAL_GRAPH_ENCODER_REPEAT):
-            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=self.dtype, name=f"matched_enc_{i}")(h)
+            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, name=f"matched_enc_{i}")(h)
         encoded_matched = h
 
-        voxel_x = batch.x.astype(self.dtype)
-        zc = z.astype(self.dtype)
+        voxel_x = batch.x.astype(dtype)
+        zc = z.astype(dtype)
         tokens = jnp.concatenate([encoded_matched, voxel_x, zc], axis=-1)
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
-            tokens = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=self.dtype, name=f"mlp_enc_{i}")(tokens)
+            tokens = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(tokens)
 
         # flatten cells to the token axis; learned positional projection of the
         # normalized (coord, dim, loc) channels already in voxel_x
         tok = tokens.reshape(b, r, cfg.GENERATOR_HIDDEN_DIM)
-        pos = nn.Dense(cfg.GENERATOR_HIDDEN_DIM, dtype=self.dtype, name="pos_proj")(
+        pos = nn.Dense(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name="pos_proj")(
             voxel_x.reshape(b, r, -1)
         )
         tok = tok + pos
@@ -121,7 +124,7 @@ class GridTransformerGenerator(nn.Module):
                 dim=cfg.GENERATOR_HIDDEN_DIM,
                 heads=cfg.TRANSFORMER_HEADS,
                 dropout_rate=cfg.ENCODER_DROPOUT_RATE,
-                dtype=self.dtype,
+                dtype=dtype,
                 name=f"block_{i}",
             )(tok, mask_flat, deterministic)
 
@@ -131,8 +134,9 @@ class GridTransformerGenerator(nn.Module):
         d = cfg.GENERATOR_HIDDEN_DIM
         out = final
         for i, feat in enumerate([d, d // 2, d // 4, d // 8]):
-            out = MLPBlock(feat, dtype=self.dtype, name=f"dec_{i}")(out)
-        logits = nn.Dense(NUM_CLASSES, dtype=self.dtype, name="dec_out")(out)
+            out = MLPBlock(feat, dtype=dtype, name=f"dec_{i}")(out)
+        logits = nn.Dense(NUM_CLASSES, dtype=dtype, name="dec_out")(out)
+        logits = logits.astype(jnp.float32)  # head math in f32
 
         key = self.make_rng("gumbel")
         label_hard, label_soft = gumbel_softmax_st(logits, key, tau=1.0)

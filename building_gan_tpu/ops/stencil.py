@@ -86,9 +86,14 @@ def stencil_gat(
     direction, never a (6, ..., C) feature tensor — the C-sized shifts fuse
     into the accumulation, keeping HBM traffic ~6x lower.
     """
-    # scalar score planes per direction (cheap: no channel axis)
+    # scalar score planes per direction (cheap: no channel axis).  Score math
+    # (leaky-relu / max / exp / normalize) runs in f32 even when features are
+    # bf16; only the normalized weights are cast down for the accumulation.
+    a_src = a_src.astype(jnp.float32)
+    a_dst = a_dst.astype(jnp.float32)
+    maskf = mask.astype(jnp.float32)
     nbr_a_src = neighbor_stack(a_src)  # (6, B,F,Y,X)
-    nbr_valid = neighbor_stack(mask)  # (6, B,F,Y,X)
+    nbr_valid = neighbor_stack(maskf)  # (6, B,F,Y,X)
 
     e = nbr_a_src + a_dst[None]  # score of edge (neighbor -> cell)
     e = jnp.where(e >= 0, e, negative_slope * e)
@@ -101,13 +106,14 @@ def stencil_gat(
     exp_e = jnp.exp(e - m[None]) * nbr_valid  # (6, B,F,Y,X)
     exp_self = jnp.exp(e_self - m)
 
-    denom = jnp.sum(exp_e, axis=0) + exp_self
-    hm = h * mask[..., None]
-    num = exp_self[..., None] * h
+    denom = jnp.maximum(jnp.sum(exp_e, axis=0) + exp_self, 1e-16)
+    alpha = (exp_e / denom[None]).astype(h.dtype)  # normalized weights
+    alpha_self = (exp_self / denom).astype(h.dtype)
+    hm = h * mask[..., None].astype(h.dtype)
+    num = alpha_self[..., None] * h
     for d, (axis, sh) in enumerate(DIRECTIONS):
-        num = num + exp_e[d][..., None] * shift(hm, axis, sh)
-    out = num / jnp.maximum(denom, 1e-16)[..., None]
-    return out * mask[..., None]
+        num = num + alpha[d][..., None] * shift(hm, axis, sh)
+    return num * mask[..., None].astype(h.dtype)
 
 
 def stencil_gatv2(
@@ -118,55 +124,61 @@ def stencil_gatv2(
     negative_slope: float = 0.2,
 ) -> jnp.ndarray:
     """GATv2: e_ij = att . LeakyReLU(h_l[j] + h_r[i]); aggregates h_l[j]."""
-    hl_m = h_l * mask[..., None]
-    nbr_valid = neighbor_stack(mask)
+    hl_m = h_l * mask[..., None].astype(h_l.dtype)
+    maskf = mask.astype(jnp.float32)
+    nbr_valid = neighbor_stack(maskf)
 
     # GATv2 scores are feature-nonlinear, so per-direction C-sized work is
-    # unavoidable; still loop (never stack) the feature tensors.
+    # unavoidable; still loop (never stack) the feature tensors.  Score
+    # reductions accumulate in f32 (preferred_element_type) even for bf16
+    # features; softmax/normalization run fully in f32.
+    att = att.astype(h_l.dtype)
     es = []
     for axis, sh in DIRECTIONS:
         z = shift(hl_m, axis, sh) + h_r
         z = jnp.where(z >= 0, z, negative_slope * z)
-        es.append(jnp.einsum("bfyxc,c->bfyx", z, att))
+        es.append(jnp.einsum("bfyxc,c->bfyx", z, att, preferred_element_type=jnp.float32))
     e = jnp.stack(es, axis=0)  # (6, B,F,Y,X) scalar planes
     e = jnp.where(nbr_valid > 0, e, _NEG_INF)
 
     z_self = h_l + h_r
     z_self = jnp.where(z_self >= 0, z_self, negative_slope * z_self)
-    e_self = jnp.einsum("bfyxc,c->bfyx", z_self, att)
+    e_self = jnp.einsum("bfyxc,c->bfyx", z_self, att, preferred_element_type=jnp.float32)
 
     m = jnp.maximum(jnp.max(e, axis=0), e_self)
     exp_e = jnp.exp(e - m[None]) * nbr_valid
     exp_self = jnp.exp(e_self - m)
 
-    denom = jnp.sum(exp_e, axis=0) + exp_self
-    num = exp_self[..., None] * h_l
+    denom = jnp.maximum(jnp.sum(exp_e, axis=0) + exp_self, 1e-16)
+    alpha = (exp_e / denom[None]).astype(h_l.dtype)
+    alpha_self = (exp_self / denom).astype(h_l.dtype)
+    num = alpha_self[..., None] * h_l
     for d, (axis, sh) in enumerate(DIRECTIONS):
-        num = num + exp_e[d][..., None] * shift(hl_m, axis, sh)
-    out = num / jnp.maximum(denom, 1e-16)[..., None]
-    return out * mask[..., None]
+        num = num + alpha[d][..., None] * shift(hl_m, axis, sh)
+    return num * mask[..., None].astype(h_l.dtype)
 
 
 def stencil_gcn(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """GCN aggregation: D^-1/2 (A+I) D^-1/2 over the 6-neighborhood."""
-    nbr_valid = neighbor_stack(mask)  # (6,B,F,Y,X) scalar planes only
+    maskf = mask.astype(jnp.float32)
+    nbr_valid = neighbor_stack(maskf)  # (6,B,F,Y,X) scalar planes only
     deg = jnp.sum(nbr_valid, axis=0) + 1.0  # + self loop
     dinv = jax.lax.rsqrt(deg)
 
-    scaled = h * (dinv * mask)[..., None]
+    scaled = h * (dinv * maskf)[..., None].astype(h.dtype)
     agg = scaled
     for axis, sh in DIRECTIONS:
         agg = agg + shift(scaled, axis, sh)
     # shifted-in values from invalid cells are zero (scaled is masked), so no
     # per-direction validity multiply is needed on the feature tensor
-    out = agg * dinv[..., None]
-    return out * mask[..., None]
+    out = agg * dinv[..., None].astype(h.dtype)
+    return out * mask[..., None].astype(h.dtype)
 
 
 def stencil_sum(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Plain neighbor sum (GraphConv aggregation, no self loop)."""
-    hm = h * mask[..., None]
+    hm = h * mask[..., None].astype(h.dtype)
     out = jnp.zeros_like(h)
     for axis, sh in DIRECTIONS:
         out = out + shift(hm, axis, sh)
-    return out * mask[..., None]
+    return out * mask[..., None].astype(h.dtype)

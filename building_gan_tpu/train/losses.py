@@ -35,7 +35,9 @@ from ..config import Configuration, NUM_CLASSES, VOID
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over entries where mask==1.  ``values`` may carry one trailing
-    feature axis beyond ``mask``'s shape (it is summed per entry)."""
+    feature axis beyond ``mask``'s shape (it is summed per entry).  Always
+    accumulates in float32 (compute dtype may be bf16)."""
+    values = values.astype(jnp.float32)
     if values.ndim == mask.ndim + 1:
         values = values.sum(axis=-1)
     values = jnp.where(mask > 0, values, 0.0)
@@ -163,7 +165,11 @@ def generated_far(batch, label_hard: jnp.ndarray) -> jnp.ndarray:
     if is_grid:
         nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.mask
         area = batch.dimension[..., 1] * batch.dimension[..., 2]
-        gfa = jnp.sum(area * nonvoid, axis=(1, 2, 3))  # (B,)
+        if batch.gid is not None and batch.graphs_per_slot > 1:
+            oh = jax.nn.one_hot(batch.gid, batch.graphs_per_slot, dtype=label_hard.dtype)
+            gfa = jnp.einsum("bfyxk,bfyx->bk", oh, area * nonvoid)  # (B, K)
+        else:
+            gfa = jnp.sum(area * nonvoid, axis=(1, 2, 3))  # (B,)
     else:
         num_graphs = batch.graph_mask.shape[0]
         nonvoid = (gen_type != VOID).astype(label_hard.dtype) * batch.voxel_mask

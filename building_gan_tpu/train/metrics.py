@@ -77,11 +77,22 @@ def grid_confusion_matrices(
     y_true: jnp.ndarray,  # (B, F, Y, X)
     y_pred: jnp.ndarray,  # (B, F, Y, X)
     mask: jnp.ndarray,  # (B, F, Y, X)
+    gid: jnp.ndarray = None,  # (B, F, Y, X) building index (multi-packed slots)
+    num_graphs: int = 1,
 ) -> jnp.ndarray:
-    """(B, 7, 7) per-graph confusion matrices via dense one-hot einsum —
-    the grid layout's scatter-free replacement for the segment-op path."""
-    oh_t = jax.nn.one_hot(y_true, NUM_CLASSES) * mask[..., None]
+    """Per-graph confusion matrices via dense one-hot einsum — the grid
+    layout's scatter-free replacement for the segment-op path.
+
+    Returns (B, 7, 7) for single-building slots, (B, K, 7, 7) when ``gid``
+    keys K buildings per slot."""
     oh_p = jax.nn.one_hot(y_pred, NUM_CLASSES)
+    if gid is not None and num_graphs > 1:
+        # joint (building, true-class) one-hot: one matmul of K*7 channels
+        oh_kt = jax.nn.one_hot(gid * NUM_CLASSES + y_true, num_graphs * NUM_CLASSES)
+        oh_kt = oh_kt * mask[..., None]
+        cms = jnp.einsum("bfyxt,bfyxp->btp", oh_kt, oh_p)
+        return cms.reshape(mask.shape[0], num_graphs, NUM_CLASSES, NUM_CLASSES)
+    oh_t = jax.nn.one_hot(y_true, NUM_CLASSES) * mask[..., None]
     return jnp.einsum("bfyxt,bfyxp->btp", oh_t, oh_p)
 
 
@@ -91,19 +102,21 @@ def compute_metrics(
     mask: jnp.ndarray,
     graph_id: jnp.ndarray = None,
     graph_mask: jnp.ndarray = None,
+    gid: jnp.ndarray = None,
+    num_graphs_per_slot: int = 1,
 ) -> dict:
     """Whole-batch macro scores + min per-graph F1 (reference trainer.py:387-443).
 
     Packed layout: 1-D arrays + ``graph_id`` segment keys.  Grid layout:
     ``(B, F, Y, X)`` arrays (``graph_id`` unused; the batch axis is the graph
-    axis).  Returns scalars: f1, f1_min (over real graphs), precision,
-    recall, accuracy.
+    axis, or (batch, gid) with multi-building slots).  Returns scalars: f1,
+    f1_min (over real graphs), precision, recall, accuracy.
     """
     if y_true.ndim > 1:  # grid layout
-        cms = grid_confusion_matrices(y_true, y_pred, mask)
-        cm = cms.sum(axis=0)
+        cms = grid_confusion_matrices(y_true, y_pred, mask, gid, num_graphs_per_slot)
+        cm = cms.sum(axis=tuple(range(cms.ndim - 2)))
         batch_scores = _scores_from_cm(cm)
-        per_graph = _scores_from_cm(cms)
+        per_graph = _scores_from_cm(cms)  # (B,) or (B, K)
         f1_min = jnp.min(jnp.where(graph_mask > 0, per_graph["f1"], jnp.inf))
         f1_min = jnp.where(jnp.isfinite(f1_min), f1_min, 0.0)
         return {

@@ -26,23 +26,44 @@ class TrainState:
     opt_d: Any
 
 
-def make_optimizers(cfg: Configuration, total_g_updates: int):
-    """Adam pair + cosine-annealed G schedule (reference train.py:36-38).
+def make_optimizers(cfg: Configuration, total_g_updates: int = 0):
+    """Adam pair + per-epoch cosine G schedule (reference train.py:36-38).
 
-    The reference steps ``CosineAnnealingLR(T_max=EPOCHS)`` once per epoch;
-    here the equivalent continuous schedule runs over G-update steps
-    (``total_g_updates`` = EPOCHS * steps_per_epoch), reaching 0 at the end —
-    same trajectory, no host-side scheduler object.
+    The reference steps ``CosineAnnealingLR(T_max=EPOCHS)`` once per EPOCH.
+    The G learning rate is therefore injected as an optimizer-state
+    hyperparameter (``opt_g.hyperparams['learning_rate']``) and set on epoch
+    boundaries by the trainer via :func:`cosine_lr` / :func:`set_g_lr` —
+    EXACTLY the reference trajectory, independent of how many packed steps a
+    shuffled/bucketed epoch happens to produce.  ``total_g_updates`` is kept
+    for API compatibility (step-continuous schedules would use it); callers
+    that never touch the hyperparameter train at the constant initial LR.
     """
-    g_schedule = optax.cosine_decay_schedule(
-        init_value=cfg.LEARNING_RATE_GENERATOR,
-        decay_steps=max(total_g_updates, 1),
+    del total_g_updates
+    tx_g = optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.LEARNING_RATE_GENERATOR, b1=cfg.BETAS[0], b2=cfg.BETAS[1]
     )
-    tx_g = optax.adam(learning_rate=g_schedule, b1=cfg.BETAS[0], b2=cfg.BETAS[1])
     tx_d = optax.adam(
         learning_rate=cfg.LEARNING_RATE_DISCRIMINATOR, b1=cfg.BETAS[0], b2=cfg.BETAS[1]
     )
     return tx_g, tx_d
+
+
+def cosine_lr(cfg: Configuration, epoch: int) -> float:
+    """CosineAnnealingLR(T_max=EPOCHS) value entering ``epoch`` (1-based),
+    matching torch semantics: epoch 1 runs at the initial LR, the last epoch
+    approaches 0 (reference train.py:36-38, eta_min=0)."""
+    import math
+
+    t = min(max(epoch - 1, 0), cfg.EPOCHS)
+    return cfg.LEARNING_RATE_GENERATOR * 0.5 * (1.0 + math.cos(math.pi * t / cfg.EPOCHS))
+
+
+def set_g_lr(state: TrainState, lr: float) -> TrainState:
+    """Return ``state`` with the injected G learning rate set to ``lr``."""
+    opt_g = state.opt_g
+    hp = dict(opt_g.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    return state.replace(opt_g=opt_g._replace(hyperparams=hp))
 
 
 def create_train_state(

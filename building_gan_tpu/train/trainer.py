@@ -29,7 +29,7 @@ from ..checkpoint import ckpt
 from ..config import Configuration
 from ..data.pipeline import GraphDataLoaders, prefetch
 from ..parallel import dp
-from .state import create_train_state
+from .state import cosine_lr, create_train_state, set_g_lr
 from .step import make_eval_step, make_train_step
 
 
@@ -101,7 +101,11 @@ class Trainer:
                 make_train_step(cfg, generator, discriminator, self.tx_g, self.tx_d),
                 donate_argnums=(0,),
             )
-        self.eval_step = jax.jit(make_eval_step(cfg, generator, discriminator))
+        if mesh is not None:
+            # sharded eval: whole stacked batch in one program, psum-ed scores
+            self.eval_step = dp.make_parallel_eval_step(cfg, generator, discriminator, mesh)
+        else:
+            self.eval_step = jax.jit(make_eval_step(cfg, generator, discriminator))
 
         # auto-resume (reference trainer.py:628-636)
         self.meta = {"epoch_start": 1, "best_f1_score": 0.0}
@@ -138,21 +142,13 @@ class Trainer:
         n = 0
         base = jax.random.fold_in(jax.random.key(self.configuration.SEED + 999), epoch)
         for i, batch in enumerate(self.dataloaders.validation_dataloader):
-            if self.mesh is not None:
-                # eval runs single-device; flatten stacked packs
-                for d in range(batch.graph_mask.shape[0]):
-                    single = jax.tree.map(lambda x: x[d], batch)
-                    metrics = jax.device_get(self.eval_step(self.state, single, jax.random.fold_in(base, i * 64 + d)))
-                    for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
-                        sums[k] += float(metrics[k])
-                    f1_min = min(f1_min, float(metrics["f1_min"]))
-                    n += 1
-            else:
-                metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
-                for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
-                    sums[k] += float(metrics[k])
-                f1_min = min(f1_min, float(metrics["f1_min"]))
-                n += 1
+            # mesh mode: the stacked batch evaluates in ONE sharded program
+            # (scores are psum-ed globally inside the step)
+            metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
+                sums[k] += float(metrics[k])
+            f1_min = min(f1_min, float(metrics["f1_min"]))
+            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
         return out
@@ -171,6 +167,9 @@ class Trainer:
         best_f1_score = float(self.meta.get("best_f1_score", 0.0))
 
         for epoch in range(epoch_start, epoch_end):
+            # per-epoch cosine G LR — exactly the reference CosineAnnealingLR
+            # trajectory (train.py:36-38), independent of per-epoch pack counts
+            self.state = set_g_lr(self.state, cosine_lr(cfg, epoch))
             tr = self._train_each_epoch(epoch)
             va = self._validate_each_epoch(epoch)
 
@@ -251,12 +250,33 @@ class Trainer:
             return None
 
     def generate(self, batch, key):
-        """One generator forward at eval time -> (logits, hard, soft)."""
+        """One generator forward at eval time -> (logits, hard, soft).
+
+        With ``USE_PALLAS`` (grid layout, GATCONV hourglass) the forward runs
+        through the fused Pallas hourglass kernel (`models/fast_infer.py`)
+        instead of the flax module — same parameter pytree, parity-tested.
+        """
         from .losses import _batch_fields
 
+        cfg = self.configuration
         kz, kgum = jax.random.split(key)
         _, mask, _ = _batch_fields(batch)
-        z = jax.random.normal(kz, mask.shape + (self.configuration.Z_DIM,))
+        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,))
+        if (
+            cfg.USE_PALLAS
+            and cfg.LAYOUT == "grid"
+            and cfg.GENERATOR_CONV_TYPE == "GATCONV"
+            and cfg.GENERATOR_ARCH == "hourglass"
+        ):
+            from ..models import fast_infer
+
+            step = int(self.state.step)
+            if getattr(self, "_fast_infer_step", -1) != step:
+                self._fast_infer_packed = fast_infer.prepare(self.state.params_g, cfg)
+                self._fast_infer_step = step
+            return fast_infer.infer(
+                self.state.params_g, self._fast_infer_packed, cfg, batch, z, kgum
+            )
         return self.generator.apply(
             {"params": self.state.params_g}, batch, z, deterministic=True, rngs={"gumbel": kgum}
         )
@@ -271,17 +291,11 @@ class Trainer:
         n = 0
         base = jax.random.key(self.configuration.SEED + 31337)
         for i, batch in enumerate(loader):
-            batches = (
-                [jax.tree.map(lambda x, d=d: x[d], batch) for d in range(batch.graph_mask.shape[0])]
-                if self.mesh is not None
-                else [batch]
-            )
-            for j, b in enumerate(batches):
-                metrics = jax.device_get(self.eval_step(self.state, b, jax.random.fold_in(base, i * 64 + j)))
-                for k in ("f1", "precision", "recall", "accuracy"):
-                    sums[k] += float(metrics[k])
-                f1_min = min(f1_min, float(metrics["f1_min"]))
-                n += 1
+            metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            for k in ("f1", "precision", "recall", "accuracy"):
+                sums[k] += float(metrics[k])
+            f1_min = min(f1_min, float(metrics["f1_min"]))
+            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
 

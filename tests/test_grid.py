@@ -69,8 +69,9 @@ def test_generator_grid_vs_edge_parity(synthetic_samples, grid_cfg, conv):
     gb = gridlib.pack_grid(samples, cfg)
 
     key = jax.random.key(0)
-    edge_gen = VoxelGNNGenerator(configuration=cfg)
-    grid_gen = GridVoxelGNNGenerator(configuration=cfg)
+    # strict parity: pin f32 so layout equivalence isn't blurred by bf16
+    edge_gen = VoxelGNNGenerator(configuration=cfg, dtype=jnp.float32)
+    grid_gen = GridVoxelGNNGenerator(configuration=cfg, dtype=jnp.float32)
 
     z_packed = jnp.zeros((packed.voxel_x.shape[0], cfg.Z_DIM))
     variables = edge_gen.init({"params": key, "gumbel": key}, packed, z_packed, deterministic=True)
@@ -102,8 +103,8 @@ def test_discriminator_grid_vs_edge_parity(synthetic_samples, grid_cfg):
     gb = gridlib.pack_grid(samples, cfg)
 
     key = jax.random.key(1)
-    edge_disc = VoxelGNNDiscriminator(configuration=cfg)
-    grid_disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    edge_disc = VoxelGNNDiscriminator(configuration=cfg, dtype=jnp.float32)
+    grid_disc = GridVoxelGNNDiscriminator(configuration=cfg, dtype=jnp.float32)
 
     label_packed = jax.nn.one_hot(packed.voxel_type, NUM_CLASSES) * packed.voxel_mask[:, None]
     label_grid = jax.nn.one_hot(gb.type, NUM_CLASSES) * gb.mask[..., None]
@@ -197,7 +198,7 @@ def test_transformer_attention_isolated_across_buildings(synthetic_samples, grid
     gb2 = gridlib.pack_grid(synthetic_samples[:2], cfg)
     gb1 = gridlib.pack_grid(synthetic_samples[:1], cfg, batch_slots=2)
 
-    gen = GridTransformerGenerator(configuration=cfg)
+    gen = GridTransformerGenerator(configuration=cfg, dtype=jnp.float32)
     key = jax.random.key(0)
     z = jnp.zeros(gb2.mask.shape + (cfg.Z_DIM,))
     variables = gen.init({"params": key, "gumbel": key}, gb2, z, deterministic=True)

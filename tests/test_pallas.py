@@ -92,7 +92,7 @@ def test_fast_infer_parity(synthetic_samples, small_cfg):
         GENERATOR_HIDDEN_DIM=32, GENERATOR_ENCODER_REPEAT=2,
     )
     gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
-    gen = GridVoxelGNNGenerator(configuration=cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg, dtype=jnp.float32)
     key = jax.random.key(0)
     z = jax.random.normal(key, gb.mask.shape + (cfg.Z_DIM,))
     variables = gen.init({"params": key, "gumbel": key}, gb, z, deterministic=True)

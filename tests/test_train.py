@@ -216,3 +216,84 @@ def test_sanity_overfit_one_building(synthetic_samples, small_cfg):
     f1_last = float(f1)
     assert f1_last > 0.5, f"overfit failed: f1 {f1_first} -> {f1_last}"
     assert f1_last > f1_first
+
+
+def test_cosine_lr_matches_torch_scheduler(small_cfg):
+    """Per-epoch G LR == torch CosineAnnealingLR(T_max=EPOCHS) trajectory
+    (reference train.py:36-38), for any pack-count-per-epoch."""
+    torch = pytest.importorskip("torch")
+
+    cfg = small_cfg.replace(EPOCHS=17, LEARNING_RATE_GENERATOR=1e-4)
+    from building_gan_tpu.train.state import cosine_lr
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=cfg.LEARNING_RATE_GENERATOR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=cfg.EPOCHS)
+    for epoch in range(1, cfg.EPOCHS + 1):
+        want = opt.param_groups[0]["lr"]  # LR in effect during this epoch
+        got = cosine_lr(cfg, epoch)
+        assert np.isclose(got, want, rtol=1e-6), f"epoch {epoch}: {got} != {want}"
+        sched.step()
+
+
+def test_set_g_lr_flows_into_update(synthetic_samples, small_cfg):
+    """The injected hyperparameter actually drives the Adam update size."""
+    from building_gan_tpu.train.state import set_g_lr
+
+    cfg = tiny_cfg(small_cfg)
+    packed = batching.pack_graphs(synthetic_samples[:2], cfg)[0]
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    state, tx_g, tx_d = create_train_state(cfg, gen, disc, packed, jax.random.key(0), 10)
+    step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d))
+
+    zeroed = set_g_lr(state, 0.0)
+    s2, _ = step(zeroed, packed, jax.random.key(1))
+    for a, b in zip(jax.tree.leaves(state.params_g), jax.tree.leaves(s2.params_g)):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+@pytest.mark.slow
+def test_sanity_overfit_adversarial_only(synthetic_samples, small_cfg):
+    """Reference sanity.py semantics: LAMBDA_LABEL=0 — WGAN-GP + FAR/ratio
+    losses ONLY, single building, F1 must climb well above chance.
+
+    Unlike test_sanity_overfit_one_building (which adds a CE term for speed),
+    this guards the REAL loss path: the generator learns purely from the
+    critic + the ratio/FAR auxiliary losses (reference trainer.py:484-495,
+    config.py LAMBDA_LABEL=0).  Measured trajectory on this config: F1 ~0.12
+    (chance) for ~3k steps, then climbs through 0.3 (4.6k) to ~0.5-0.6 by 6k.
+    """
+    cfg = tiny_cfg(
+        small_cfg, PACK_GRAPHS=1, LAMBDA_LABEL=0.0,
+        PACK_VOXEL_NODES=512, PACK_VOXEL_EDGES=4096,
+        PACK_LOCAL_NODES=128, PACK_LOCAL_EDGES=1024,
+    )
+    sample = synthetic_samples[0]
+    packed = batching.pack_one([sample], cfg)
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    n_steps, chunk = 6000, 200
+    state, tx_g, tx_d = create_train_state(cfg, gen, disc, packed, jax.random.key(0), n_steps)
+    step = make_train_step(cfg, gen, disc, tx_g, tx_d)
+
+    @jax.jit
+    def run_chunk(state, base_key):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = step(st, packed, jax.random.fold_in(base_key, i))
+            return (st, metrics["f1"]), metrics["f1"]
+
+        (state, _), f1s = jax.lax.scan(body, (state, jnp.zeros(())), jnp.arange(chunk))
+        return state, f1s
+
+    early_max, late_max = 0.0, 0.0
+    for c in range(n_steps // chunk):
+        state, f1s = run_chunk(state, jax.random.fold_in(jax.random.key(42), c))
+        m = float(jnp.max(f1s))
+        if c < 5:
+            early_max = max(early_max, m)
+        if c >= n_steps // chunk - 5:
+            late_max = max(late_max, m)
+    assert late_max > 0.35, f"adversarial-only overfit failed: late max F1 {late_max}"
+    assert late_max > early_max + 0.1, f"no climb: {early_max} -> {late_max}"
