@@ -39,6 +39,10 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--generator-arch", default=None, choices=["hourglass", "transformer"], help="GENERATOR_ARCH")
     p.add_argument("--batch-level-matching", action="store_true", help="quirk Q1 parity")
     p.add_argument("--batch-level-graphnorm", action="store_true", help="quirk Q5 parity")
+    p.add_argument("--use-pallas", action="store_true", help="fused Pallas inference path (USE_PALLAS)")
+    p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"], help="COMPUTE_DTYPE")
+    p.add_argument("--slot-graphs", type=int, default=None, help="buildings bin-packed per grid slot (GRID_SLOT_GRAPHS)")
+    p.add_argument("--grid-local-nodes", type=int, default=None, help="packed local-node width per slot (GRID_LOCAL_NODES)")
 
 
 def _build_config(args, sanity: bool = False):
@@ -75,6 +79,14 @@ def _build_config(args, sanity: bool = False):
         overrides["BATCH_LEVEL_MATCHING"] = True
     if getattr(args, "batch_level_graphnorm", False):
         overrides["BATCH_LEVEL_GRAPHNORM"] = True
+    if getattr(args, "use_pallas", False):
+        overrides["USE_PALLAS"] = True
+    if getattr(args, "compute_dtype", None):
+        overrides["COMPUTE_DTYPE"] = args.compute_dtype
+    if getattr(args, "slot_graphs", None) is not None:
+        overrides["GRID_SLOT_GRAPHS"] = args.slot_graphs
+    if getattr(args, "grid_local_nodes", None) is not None:
+        overrides["GRID_LOCAL_NODES"] = args.grid_local_nodes
     return cfg.replace(**overrides) if overrides else cfg
 
 
@@ -96,6 +108,15 @@ def cmd_preprocess(args):
     n = create_dataset(cfg, workers=getattr(args, "workers", 0))
     dt = time.time() - t0
     print(f"processed {n} buildings in {dt:.1f}s ({n / max(dt, 1e-9):.2f} it/s)")
+
+
+def cmd_ingest(args):
+    """Convert the reference's processed ``.pt`` dataset into our NPZ layout
+    (reference `data.py:457-461` torch.save pairs -> GraphDataset-loadable)."""
+    from ..data.ingest import convert_reference_processed
+
+    n = convert_reference_processed(args.src, args.dst, compress=args.compress)
+    print(f"converted {n} buildings: {args.src} -> {args.dst}")
 
 
 def cmd_analyze(args):
@@ -175,6 +196,12 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=0, help="host-parallel worker processes")
     _add_config_overrides(p)
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("ingest", help="reference processed .pt pairs -> NPZ dataset")
+    p.add_argument("--src", required=True, help="directory of {num}_local.pt/{num}_voxel.pt")
+    p.add_argument("--dst", required=True, help="output directory for NPZ pairs")
+    p.add_argument("--compress", action="store_true")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("analyze", help="dataset statistics + FAR invariant check")
     _add_config_overrides(p)
