@@ -1,0 +1,192 @@
+"""Node-axis (sequence-parallel analog) sharding over the grid floor axis.
+
+SURVEY.md §2.3(b): beyond data parallelism, the merged node/cell axis itself
+can be sharded across the mesh.  The dense-grid layout makes this regular:
+cells live on a (B, F, Y, X) block and every graph op is either pointwise,
+a per-(slot, graph) reduction, or a 6-point stencil whose only cross-shard
+dependency is ONE ghost plane along the sharded floor axis.
+
+Two complementary implementations:
+
+- **Explicit halo exchange** (`stencil_*_sp`): shard_map-compatible wrappers
+  around `ops/stencil.py` that `ppermute` a single (B, 1, Y, X, ...) ghost
+  plane to each floor-neighbor shard, run the unmodified stencil math on the
+  halo-padded slab, and crop.  `ppermute` fills absent sources with zeros —
+  exactly the stencil's zero-fill boundary condition, so no special-casing of
+  the global top/bottom shards.
+- **GSPMD sharding constraints** (`shard_grid_batch` / `sp_generator_apply`):
+  the production path.  Batch tensors are placed with
+  ``NamedSharding(P(None, "sp"))`` on the floor axis, parameters replicated,
+  and XLA's SPMD partitioner propagates the sharding through the whole
+  network, inserting the same ghost-plane ``collective-permute``s
+  automatically (asserted in tests) — the "annotate and let XLA insert
+  collectives" recipe, no manual comms in model code.
+
+The reference has no counterpart (single-GPU, whole-graph); this is
+greenfield TPU scaling surface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import stencil
+
+SP_AXIS = "sp"
+
+
+def make_sp_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the floor-shard axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devices), (SP_AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# explicit halo exchange (shard_map building blocks)
+# ---------------------------------------------------------------------------
+
+
+def halo_pad_floor(x: jnp.ndarray, axis_name: str = SP_AXIS) -> jnp.ndarray:
+    """Pad a local (B, Fs, Y, X, ...) floor slab with 1 ghost plane per side.
+
+    The ghost planes are the neighboring shards' boundary planes, moved over
+    ICI with ``ppermute``.  Shard 0's lower ghost and shard N-1's upper ghost
+    receive zeros (ppermute semantics), matching the stencil's zero-fill
+    boundary.
+    """
+    n = jax.lax.axis_size(axis_name)
+    fs = x.shape[1]
+    top = jax.lax.slice_in_dim(x, fs - 1, fs, axis=1)  # my highest floor plane
+    bot = jax.lax.slice_in_dim(x, 0, 1, axis=1)  # my lowest floor plane
+    # my top plane becomes shard i+1's lower ghost; my bottom plane becomes
+    # shard i-1's upper ghost
+    lower_ghost = jax.lax.ppermute(top, axis_name, [(i, i + 1) for i in range(n - 1)])
+    upper_ghost = jax.lax.ppermute(bot, axis_name, [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([lower_ghost, x, upper_ghost], axis=1)
+
+
+def _crop_floor(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(x, 1, x.shape[1] - 1, axis=1)
+
+
+def stencil_gat_sp(h, a_src, a_dst, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS):
+    """`ops.stencil.stencil_gat` on a floor-sharded slab (inside shard_map)."""
+    out = stencil.stencil_gat(
+        halo_pad_floor(h, axis_name),
+        halo_pad_floor(a_src, axis_name),
+        halo_pad_floor(a_dst, axis_name),
+        halo_pad_floor(mask, axis_name),
+        negative_slope=negative_slope,
+    )
+    return _crop_floor(out)
+
+
+def stencil_gcn_sp(h, mask, axis_name: str = SP_AXIS):
+    """GCN is the one stencil with a TWO-hop dependency: a neighbor's
+    contribution is scaled by ITS degree, and a ghost cell's degree needs the
+    ghost's own neighborhood.  So: (1) degree from a mask halo (correct for
+    all local cells), (2) normalize locally, (3) halo-exchange the already
+    degree-scaled features and aggregate."""
+    maskf = mask.astype(jnp.float32)
+    padded_mask = halo_pad_floor(maskf, axis_name)
+    deg = _crop_floor(jnp.sum(stencil.neighbor_stack(padded_mask), axis=0)) + 1.0
+    dinv = jax.lax.rsqrt(deg)
+
+    scaled = h * (dinv * maskf)[..., None].astype(h.dtype)
+    ps = halo_pad_floor(scaled, axis_name)
+    agg = ps  # self loop
+    for axis, sh in stencil.DIRECTIONS:
+        agg = agg + stencil.shift(ps, axis, sh)
+    out = _crop_floor(agg) * dinv[..., None].astype(h.dtype)
+    return out * maskf[..., None].astype(h.dtype)
+
+
+def stencil_sum_sp(h, mask, axis_name: str = SP_AXIS):
+    out = stencil.stencil_sum(halo_pad_floor(h, axis_name), halo_pad_floor(mask, axis_name))
+    return _crop_floor(out)
+
+
+def stencil_gatv2_sp(h_l, h_r, att, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS):
+    out = stencil.stencil_gatv2(
+        halo_pad_floor(h_l, axis_name),
+        halo_pad_floor(h_r, axis_name),
+        att,
+        halo_pad_floor(mask, axis_name),
+        negative_slope=negative_slope,
+    )
+    return _crop_floor(out)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD path: annotate shardings, let XLA insert the collectives
+# ---------------------------------------------------------------------------
+
+# GridBatch fields laid out (B, F, Y, X, ...) — shard floor; everything else
+# (local program graph, per-graph scalars) is replicated
+_FLOOR_SHARDED_FIELDS = ("x", "type", "mask", "dimension", "gid")
+
+
+def grid_batch_spec(batch) -> dict:
+    """Field-name -> PartitionSpec for a GridBatch: floor sharded, rest replicated."""
+    import dataclasses
+
+    specs = {}
+    for f in dataclasses.fields(batch):
+        if getattr(batch, f.name) is None:
+            specs[f.name] = None
+        elif f.name in _FLOOR_SHARDED_FIELDS:
+            specs[f.name] = P(None, SP_AXIS)
+        else:
+            specs[f.name] = P()
+    return specs
+
+
+def shard_grid_batch(batch, mesh: Mesh):
+    """device_put a GridBatch with the floor axis sharded over the mesh.
+
+    The floor extent must divide evenly; grid shapes are padded/bucketed at
+    packing time, so pick GRID_SHAPE[0] % mesh size == 0 for SP runs.
+    """
+    kwargs = {}
+    for name, spec in grid_batch_spec(batch).items():
+        v = getattr(batch, name)
+        kwargs[name] = (
+            None if v is None else jax.device_put(v, NamedSharding(mesh, spec))
+        )
+    return type(batch)(**kwargs)
+
+
+def sp_generator_apply(gen, mesh: Mesh):
+    """Jitted generator forward with batch floor-sharded, params replicated.
+
+    XLA's SPMD partitioner propagates P(None, 'sp') through every stencil
+    shift, inserting ghost-plane collective-permutes on ICI; per-graph
+    reductions (GraphNorm stats, matched pooling, metrics einsums) become
+    psum-style cross-shard reductions automatically.
+    """
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnums=())
+    def fwd(params, batch, z, key):
+        return gen.apply(
+            {"params": params}, batch, z, deterministic=True, rngs={"gumbel": key}
+        )
+
+    def apply(params, batch, z, key):
+        params = jax.device_put(params, repl)
+        batch = shard_grid_batch(batch, mesh)
+        z = jax.device_put(z, NamedSharding(mesh, P(None, SP_AXIS)))
+        return fwd(params, batch, z, key)
+
+    apply.jitted = fwd
+    return apply
