@@ -42,37 +42,62 @@ class GridGraphNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (self.features,))
 
-        out_dtype = x.dtype
-        x = x.astype(jnp.float32)  # stats in f32 regardless of compute dtype
+        # One-pass moments + scale/shift formulation.  The naive
+        # subtract-then-square needs an extra full pass over x (and in bf16 a
+        # materialized f32 copy — measured 10x slower than f32 on v5e); here
+        # the f32 upcasts exist only INSIDE the reductions (XLA fuses them),
+        # x is read twice and written once, all in its own dtype:
+        #   mean  = E[x],  ex2 = E[x^2]           (masked, f32 accumulation)
+        #   s     = mean * mean_scale
+        #   var   = E[(x-s)^2] = ex2 - 2 s mean + s^2
+        #   y     = (x - s) * w/std + b  ==  x * scale + shift
         m = mask.astype(jnp.float32)[..., None]
+        xf = x.astype(jnp.float32)  # fused into the stat reductions
+
+        if gid is not None and num_graphs > 1 and not self.batch_level:
+            # per-(slot, building) stats keyed on the gid plane: one-hot
+            # matmuls in the compute dtype with f32 accumulation (MXU rate),
+            # on the flattened cell axis (works for 5-D and flat inputs)
+            orig = x.shape
+            B, C = x.shape[0], x.shape[-1]
+            xr = x.reshape(B, -1, C)
+            mr = m.reshape(B, -1, 1)
+            gr = gid.reshape(B, -1)
+            oh = jax.nn.one_hot(gr, num_graphs, dtype=x.dtype)  # (B,R,K)
+            oh = oh * mr.astype(x.dtype)
+            counts = jnp.maximum(jnp.sum(oh.astype(jnp.float32), axis=1), 1.0)
+            s1 = jnp.einsum("brk,brc->bkc", oh, xr, preferred_element_type=jnp.float32)
+            s2 = jnp.einsum(
+                "brk,brc->bkc", oh, (xr * xr), preferred_element_type=jnp.float32
+            )
+            mean = s1 / counts[..., None]
+            ex2 = s2 / counts[..., None]
+            s = mean * mean_scale
+            var = jnp.maximum(ex2 - 2.0 * s * mean + s * s, 0.0)
+            inv = weight * jax.lax.rsqrt(var + self.eps)  # (B,K,C)
+            scale = inv.astype(x.dtype)
+            shift = (bias - s * inv).astype(x.dtype)
+            scale_cell = jnp.einsum("brk,bkc->brc", oh, scale)
+            shift_cell = jnp.einsum("brk,bkc->brc", oh, shift)
+            # oh is already masked, so shift_cell vanishes on invalid cells
+            return (xr * scale_cell + shift_cell).reshape(orig)
+
         if self.batch_level:
-            denom = jnp.maximum(jnp.sum(mask), 1.0)
             axes = tuple(range(x.ndim - 1))  # all cell axes incl. batch
-            mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
-            out = x - mean * mean_scale
-            var = jnp.sum((out * out) * m, axis=axes, keepdims=True) / denom
-        elif gid is not None and num_graphs > 1:
-            # per-(slot, building) stats keyed on the gid plane
-            oh = jax.nn.one_hot(gid, num_graphs, dtype=jnp.float32)  # (B,F,Y,X,K)
-            oh = oh * m
-            counts = jnp.maximum(jnp.sum(oh, axis=(1, 2, 3)), 1.0)  # (B,K)
-            sums = jnp.einsum("bfyxk,bfyxc->bkc", oh, x)
-            mean = sums / counts[..., None]
-            mean_cell = jnp.einsum("bfyxk,bkc->bfyxc", oh, mean)
-            out = x - mean_cell * mean_scale
-            var = jnp.einsum("bfyxk,bfyxc->bkc", oh, out * out) / counts[..., None]
-            var = jnp.einsum("bfyxk,bkc->bfyxc", oh, var)
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
         else:
             axes = tuple(range(1, x.ndim - 1))  # per-graph cell axes
             denom = jnp.maximum(
-                jnp.sum(mask, axis=tuple(range(1, mask.ndim)), keepdims=False), 1.0
-            )[:, None, None, None, None][:, 0, 0, 0, :]
-            denom = denom.reshape((-1,) + (1,) * (x.ndim - 2) + (1,))
-            mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
-            out = x - mean * mean_scale
-            var = jnp.sum((out * out) * m, axis=axes, keepdims=True) / denom
-        std = jnp.sqrt(var + self.eps)
-        return ((weight * out / std + bias) * m).astype(out_dtype)
+                jnp.sum(mask, axis=tuple(range(1, mask.ndim))), 1.0
+            ).reshape((-1,) + (1,) * (x.ndim - 2) + (1,))
+        mean = jnp.sum(xf * m, axis=axes, keepdims=True) / denom
+        ex2 = jnp.sum(xf * xf * m, axis=axes, keepdims=True) / denom
+        s = mean * mean_scale
+        var = jnp.maximum(ex2 - 2.0 * s * mean + s * s, 0.0)
+        inv = weight * jax.lax.rsqrt(var + self.eps)
+        scale = inv.astype(x.dtype)
+        shift = (bias - s * inv).astype(x.dtype)
+        return (x * scale + shift) * m.astype(x.dtype)
 
 
 class GridGATConv(nn.Module):
@@ -83,7 +108,7 @@ class GridGATConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, grid_shape=None):
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         att_src = self.param("att_src", nn.initializers.glorot_uniform(), (self.features, 1))
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (self.features, 1))
@@ -95,7 +120,12 @@ class GridGATConv(nn.Module):
         a_dst = jnp.einsum(
             "...c,cd->...d", h, att_dst.astype(h.dtype), preferred_element_type=jnp.float32
         )[..., 0]
-        out = stencil.stencil_gat(h, a_src, a_dst, mask, negative_slope=self.negative_slope)
+        if x.ndim == 3:  # flattened-row layout
+            out = stencil.stencil_gat_flat(
+                h, a_src, a_dst, mask, grid_shape, negative_slope=self.negative_slope
+            )
+        else:
+            out = stencil.stencil_gat(h, a_src, a_dst, mask, negative_slope=self.negative_slope)
         return out + bias.astype(out.dtype)
 
 
@@ -107,14 +137,19 @@ class GridGATv2Conv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, grid_shape=None):
         h_l = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(x)
         h_r = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_r")(x)
         att = self.param("att", nn.initializers.glorot_uniform(), (self.features, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        out = stencil.stencil_gatv2(
-            h_l, h_r, att[:, 0], mask, negative_slope=self.negative_slope
-        )
+        if x.ndim == 3:
+            out = stencil.stencil_gatv2_flat(
+                h_l, h_r, att[:, 0], mask, grid_shape, negative_slope=self.negative_slope
+            )
+        else:
+            out = stencil.stencil_gatv2(
+                h_l, h_r, att[:, 0], mask, negative_slope=self.negative_slope
+            )
         return out + bias.astype(out.dtype)
 
 
@@ -125,10 +160,13 @@ class GridGCNConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, grid_shape=None):
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        out = stencil.stencil_gcn(h, mask)
+        if x.ndim == 3:
+            out = stencil.stencil_gcn_flat(h, mask, grid_shape)
+        else:
+            out = stencil.stencil_gcn(h, mask)
         return out + bias.astype(out.dtype)
 
 
@@ -139,9 +177,12 @@ class GridGraphConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, grid_shape=None):
         h_nbr = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_nbr")(x)
-        agg = stencil.stencil_sum(h_nbr, mask)
+        if x.ndim == 3:
+            agg = stencil.stencil_sum_flat(h_nbr, mask, grid_shape)
+        else:
+            agg = stencil.stencil_sum(h_nbr, mask)
         h_self = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_self")(x)
         return h_self + agg
 
@@ -165,7 +206,20 @@ class GridHourglass(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool, gid=None, num_graphs: int = 1):
+    def __call__(
+        self, x, mask, deterministic: bool, gid=None, num_graphs: int = 1, grid_shape=None
+    ):
+        # flattened-row fast path: collapse (F, Y, X) -> R once for the whole
+        # stack (see ops/stencil.py "Flattened-row layout"); 5-D callers get
+        # their shape back at exit
+        orig_shape = None
+        if x.ndim == 5:
+            orig_shape = x.shape
+            grid_shape = x.shape[1:4]
+            B = x.shape[0]
+            x = x.reshape(B, -1, x.shape[-1])
+            mask = mask.reshape(B, -1)
+            gid = None if gid is None else gid.reshape(B, -1)
         conv_cls = GRID_CONV_REGISTRY[self.conv_type]
         channels = []
         c = self.hidden_dim
@@ -177,7 +231,9 @@ class GridHourglass(nn.Module):
             channels.append(c)
 
         for i, ch in enumerate(channels):
-            x = conv_cls(features=ch, dtype=self.dtype, name=f"conv_{i}")(x, mask)
+            x = conv_cls(features=ch, dtype=self.dtype, name=f"conv_{i}")(
+                x, mask, grid_shape=grid_shape
+            )
             x = GridGraphNorm(
                 features=ch,
                 batch_level=self.batch_level_graphnorm,
@@ -186,6 +242,8 @@ class GridHourglass(nn.Module):
             )(x, mask, gid=gid, num_graphs=num_graphs)
             x = nn.relu(x)
             x = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(x)
+        if orig_shape is not None:
+            x = x.reshape(orig_shape)
         return x
 
 
@@ -206,24 +264,33 @@ def grid_type_matched_pooling(
     with a one-hot matmul — no gathers.  Multi-building slots key the table
     jointly on (building, type) via the gid planes.
     """
+    B = voxel_type.shape[0]
+    cells = voxel_type.shape[1:]  # (F, Y, X) or (R,)
+    C = local_x.shape[-1]
+
     if gid is not None and num_graphs > 1 and not batch_level:
         # joint (building, type) key: one-hot over K*T channels
         kt = num_graphs * num_classes
         key_l = local_gid * num_classes + local_type
         onehot_l = jax.nn.one_hot(key_l, kt, dtype=local_x.dtype)  # (B,NL,KT)
-        onehot_l = onehot_l * local_mask[..., None]
-        sums = jnp.einsum("bnt,bnc->btc", onehot_l, local_x * local_mask[..., None])
-        counts = jnp.sum(onehot_l, axis=1)  # (B, KT)
+        onehot_l = onehot_l * local_mask[..., None].astype(local_x.dtype)
+        sums = jnp.einsum(
+            "bnt,bnc->btc", onehot_l, local_x, preferred_element_type=jnp.float32
+        )
+        counts = jnp.sum(onehot_l.astype(jnp.float32), axis=1)  # (B, KT)
         table = sums / jnp.maximum(counts, 1.0)[..., None]
-        table = table * (counts > 0)[..., None]
-        key_v = gid * num_classes + voxel_type
-        onehot_v = jax.nn.one_hot(key_v, kt, dtype=local_x.dtype)  # (B,F,Y,X,KT)
-        return jnp.einsum("bfyxt,btc->bfyxc", onehot_v, table)
+        table = (table * (counts > 0)[..., None]).astype(local_x.dtype)
+        key_v = (gid * num_classes + voxel_type).reshape(B, -1)
+        onehot_v = jax.nn.one_hot(key_v, kt, dtype=local_x.dtype)  # (B,R,KT)
+        out = jnp.einsum("brt,btc->brc", onehot_v, table)
+        return out.reshape((B,) + cells + (C,))
 
     onehot_l = jax.nn.one_hot(local_type, num_classes, dtype=local_x.dtype)  # (B,NL,T)
-    onehot_l = onehot_l * local_mask[..., None]
-    sums = jnp.einsum("bnt,bnc->btc", onehot_l, local_x * local_mask[..., None])
-    counts = jnp.sum(onehot_l, axis=1)  # (B, T)
+    onehot_l = onehot_l * local_mask[..., None].astype(local_x.dtype)
+    sums = jnp.einsum(
+        "bnt,bnc->btc", onehot_l, local_x, preferred_element_type=jnp.float32
+    )
+    counts = jnp.sum(onehot_l.astype(jnp.float32), axis=1)  # (B, T)
     if batch_level:
         sums = jnp.sum(sums, axis=0, keepdims=True)  # (1, T, C)
         counts = jnp.sum(counts, axis=0, keepdims=True)
@@ -233,5 +300,9 @@ def grid_type_matched_pooling(
     else:
         table = sums / jnp.maximum(counts, 1.0)[..., None]  # (B, T, C)
         table = table * (counts > 0)[..., None]
-    onehot_v = jax.nn.one_hot(voxel_type, num_classes, dtype=local_x.dtype)  # (B,F,Y,X,T)
-    return jnp.einsum("bfyxt,btc->bfyxc", onehot_v, table)
+    table = table.astype(local_x.dtype)
+    onehot_v = jax.nn.one_hot(
+        voxel_type.reshape(B, -1), num_classes, dtype=local_x.dtype
+    )  # (B,R,T)
+    out = jnp.einsum("brt,btc->brc", onehot_v, table)
+    return out.reshape((B,) + cells + (C,))

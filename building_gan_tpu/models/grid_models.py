@@ -34,15 +34,26 @@ class GridVoxelGNNGenerator(nn.Module):
         cfg = self.configuration
         dtype = cfg.compute_dtype if self.dtype is None else self.dtype
 
+        # flattened-row layout throughout (ops/stencil.py "Flattened-row
+        # layout"): (B, F, Y, X, .) -> (B, R, .) removes the TPU tile padding
+        # of small spatial minor dims; only the returned tensors are grid-
+        # shaped again
+        B = batch.x.shape[0]
+        grid_shape = batch.x.shape[1:4]
+        voxel_x = batch.x.reshape(B, -1, batch.x.shape[-1]).astype(dtype)
+        mask = batch.mask.reshape(B, -1)
+        vtype = batch.type.reshape(B, -1)
+        gid = None if batch.gid is None else batch.gid.reshape(B, -1)
+
         matched_x = grid_type_matched_pooling(
             batch.local_x.astype(dtype),
             batch.local_type,
             batch.local_mask,
-            batch.type,
+            vtype,
             NUM_CLASSES,
             batch_level=cfg.BATCH_LEVEL_MATCHING,
             local_gid=batch.local_gid,
-            gid=batch.gid,
+            gid=gid,
             num_graphs=batch.graphs_per_slot,
         )
 
@@ -51,8 +62,7 @@ class GridVoxelGNNGenerator(nn.Module):
             h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, name=f"matched_enc_{i}")(h)
         encoded_matched = h
 
-        voxel_x = batch.x.astype(dtype)
-        z = z.astype(dtype)
+        z = z.reshape(B, -1, z.shape[-1]).astype(dtype)
         x = jnp.concatenate([encoded_matched, voxel_x, z], axis=-1)
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
             x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(x)
@@ -65,7 +75,10 @@ class GridVoxelGNNGenerator(nn.Module):
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
             dtype=dtype,
             name="encoder",
-        )(x, batch.mask, deterministic, gid=batch.gid, num_graphs=batch.graphs_per_slot)
+        )(
+            x, mask, deterministic,
+            gid=gid, num_graphs=batch.graphs_per_slot, grid_shape=grid_shape,
+        )
 
         final = jnp.concatenate([encoded, x, encoded_matched, voxel_x, z], axis=-1)
         d = cfg.GENERATOR_HIDDEN_DIM
@@ -78,7 +91,12 @@ class GridVoxelGNNGenerator(nn.Module):
 
         key = self.make_rng("gumbel")
         label_hard, label_soft = gumbel_softmax_st(logits, key, tau=1.0)
-        return logits, label_hard, label_soft
+        shape5 = (B,) + grid_shape + (NUM_CLASSES,)
+        return (
+            logits.reshape(shape5),
+            label_hard.reshape(shape5),
+            label_soft.reshape(shape5),
+        )
 
 
 class GridVoxelGNNDiscriminator(nn.Module):
@@ -92,21 +110,27 @@ class GridVoxelGNNDiscriminator(nn.Module):
         cfg = self.configuration
         dtype = cfg.compute_dtype if self.dtype is None else self.dtype
 
+        B = batch.x.shape[0]
+        grid_shape = batch.x.shape[1:4]
+        voxel_x = batch.x.reshape(B, -1, batch.x.shape[-1]).astype(dtype)
+        mask = batch.mask.reshape(B, -1)
+        vtype = batch.type.reshape(B, -1)
+        gid = None if batch.gid is None else batch.gid.reshape(B, -1)
+        label = label.reshape(B, -1, label.shape[-1]).astype(dtype)
+
         matched_x = grid_type_matched_pooling(
             batch.local_x.astype(dtype),
             batch.local_type,
             batch.local_mask,
-            batch.type,
+            vtype,
             NUM_CLASSES,
             batch_level=cfg.BATCH_LEVEL_MATCHING,
             local_gid=batch.local_gid,
-            gid=batch.gid,
+            gid=gid,
             num_graphs=batch.graphs_per_slot,
         )
 
-        x = jnp.concatenate(
-            [matched_x, batch.x.astype(dtype), label.astype(dtype)], axis=-1
-        )
+        x = jnp.concatenate([matched_x, voxel_x, label], axis=-1)
         x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
         x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
 
@@ -118,7 +142,10 @@ class GridVoxelGNNDiscriminator(nn.Module):
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
             dtype=dtype,
             name="encoder",
-        )(x, batch.mask, deterministic, gid=batch.gid, num_graphs=batch.graphs_per_slot)
+        )(
+            x, mask, deterministic,
+            gid=gid, num_graphs=batch.graphs_per_slot, grid_shape=grid_shape,
+        )
 
         d = cfg.DISCRIMINATOR_HIDDEN_DIM
         out = encoded
@@ -128,4 +155,4 @@ class GridVoxelGNNDiscriminator(nn.Module):
         score = nn.Dense(1, dtype=dtype, name="dec_out")(out).astype(jnp.float32)
         if not cfg.USE_WGANGP:
             score = nn.sigmoid(score)
-        return score
+        return score.reshape((B,) + grid_shape + (1,))

@@ -72,29 +72,31 @@ class GraphNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (self.features,))
 
+        # One-pass moments + scale/shift, numerically matching the grid-layout
+        # GridGraphNorm formulation (grid_layers.py) so grid-vs-edge parity is
+        # exact: var = E[(x - mean*ms)^2] = E[x^2] - 2 s E[x] + s^2, f32 stats,
+        # output as x*scale + shift in the compute dtype.
         out_dtype = x.dtype
-        x = x.astype(jnp.float32)  # stats in f32 regardless of compute dtype
+        xf = x.astype(jnp.float32)  # fused into the stat reductions
         w = None if mask is None else mask.astype(jnp.float32)
         if segment_ids is None:
             if w is None:
-                mean = jnp.mean(x, axis=0, keepdims=True)
+                mean = jnp.mean(xf, axis=0, keepdims=True)
+                ex2 = jnp.mean(xf * xf, axis=0, keepdims=True)
             else:
                 denom = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x * w[:, None], axis=0, keepdims=True) / denom
-            out = x - mean * mean_scale
-            if w is None:
-                var = jnp.mean(out * out, axis=0, keepdims=True)
-            else:
-                denom = jnp.maximum(jnp.sum(w), 1.0)
-                var = jnp.sum((out * out) * w[:, None], axis=0, keepdims=True) / denom
+                mean = jnp.sum(xf * w[:, None], axis=0, keepdims=True) / denom
+                ex2 = jnp.sum(xf * xf * w[:, None], axis=0, keepdims=True) / denom
         else:
             assert num_segments is not None
-            mean = seg.segment_mean(x, segment_ids, num_segments, weights=w)
-            out = x - mean[segment_ids] * mean_scale
-            var = seg.segment_mean(out * out, segment_ids, num_segments, weights=w)
-            var = var[segment_ids]
-        std = jnp.sqrt(var + self.eps)
-        return (weight * out / std + bias).astype(out_dtype)
+            mean = seg.segment_mean(xf, segment_ids, num_segments, weights=w)[segment_ids]
+            ex2 = seg.segment_mean(xf * xf, segment_ids, num_segments, weights=w)[segment_ids]
+        s = mean * mean_scale
+        var = jnp.maximum(ex2 - 2.0 * s * mean + s * s, 0.0)
+        inv = weight * jax.lax.rsqrt(var + self.eps)
+        scale = inv.astype(out_dtype)
+        shift = (bias - s * inv).astype(out_dtype)
+        return x * scale + shift
 
 
 class GATConv(nn.Module):

@@ -182,3 +182,166 @@ def stencil_sum(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     for axis, sh in DIRECTIONS:
         out = out + shift(hm, axis, sh)
     return out * mask[..., None].astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Flattened-row layout — the TPU-tiling-friendly fast path
+# ---------------------------------------------------------------------------
+#
+# A (B, F, Y, X[, C]) block tiles its last two dims onto TPU (sublane, lane)
+# registers: scalar planes (..., 12, 12) pad 12->8·k sublanes AND 12->128
+# lanes (~9.5x physical bytes), and feature tensors (..., 12, 128) pad
+# 12->16 sublanes (+33%).  Flattening the spatial dims to R = F*Y*X (e.g.
+# 1584 -> 1664 padded, ~5%) removes both paddings; profiling the train step
+# on v5e showed ~40% of HBM traffic was pure tile padding in the 5-D layout.
+#
+# The 6-neighbor stencil becomes row shifts by {±Y·X, ±X, ±1} plus STATIC
+# per-direction boundary masks (a wrapped x/y shift lands in an adjacent
+# row's valid cell — structurally not a neighbor).  Floor shifts never wrap.
+# Order matches DIRECTIONS: (floor+, floor-, y+, y-, x+, x-).
+
+import numpy as _np
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _flat_dirs(grid_shape: Tuple[int, int, int]):
+    """[(offset, boundary_mask (R,) f32 or None)] for the 6 directions."""
+    F, Y, X = grid_shape
+    R = F * Y * X
+    iy = (_np.arange(R) // X) % Y
+    ix = _np.arange(R) % X
+    dirs = []
+    for stride, s, bm in (
+        (Y * X, 1, None),
+        (Y * X, -1, None),
+        (X, 1, iy >= 1),
+        (X, -1, iy <= Y - 2),
+        (1, 1, ix >= 1),
+        (1, -1, ix <= X - 2),
+    ):
+        mask = None if bm is None else _np.asarray(bm, _np.float32)
+        dirs.append((s * stride, mask))
+    return tuple(dirs)
+
+
+def _nbr_valid_flat(maskf: jnp.ndarray, grid_shape) -> jnp.ndarray:
+    """(6, B, R) neighbor-exists mask incl. structural row boundaries."""
+    planes = []
+    for off, bm in _flat_dirs(grid_shape):
+        p = shift(maskf, 1, off)
+        if bm is not None:
+            p = p * jnp.asarray(bm)[None, :]
+        planes.append(p)
+    return jnp.stack(planes, axis=0)
+
+
+def stencil_gat_flat(
+    h: jnp.ndarray,  # (B, R, C) transformed features (W x)
+    a_src: jnp.ndarray,  # (B, R)
+    a_dst: jnp.ndarray,  # (B, R)
+    mask: jnp.ndarray,  # (B, R)
+    grid_shape: Tuple[int, int, int],
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """`stencil_gat` on the flattened-row layout (identical semantics)."""
+    a_src = a_src.astype(jnp.float32)
+    a_dst = a_dst.astype(jnp.float32)
+    maskf = mask.astype(jnp.float32)
+    dirs = _flat_dirs(grid_shape)
+    nbr_a_src = jnp.stack([shift(a_src, 1, off) for off, _ in dirs], axis=0)
+    nbr_valid = _nbr_valid_flat(maskf, grid_shape)
+
+    e = nbr_a_src + a_dst[None]
+    e = jnp.where(e >= 0, e, negative_slope * e)
+    e = jnp.where(nbr_valid > 0, e, _NEG_INF)
+
+    e_self = a_src + a_dst
+    e_self = jnp.where(e_self >= 0, e_self, negative_slope * e_self)
+
+    m = jnp.maximum(jnp.max(e, axis=0), e_self)
+    exp_e = jnp.exp(e - m[None]) * nbr_valid
+    exp_self = jnp.exp(e_self - m)
+
+    denom = jnp.maximum(jnp.sum(exp_e, axis=0) + exp_self, 1e-16)
+    alpha = (exp_e / denom[None]).astype(h.dtype)
+    alpha_self = (exp_self / denom).astype(h.dtype)
+    hm = h * mask[..., None].astype(h.dtype)
+    num = alpha_self[..., None] * h
+    for d, (off, _) in enumerate(dirs):
+        # wrapped-in rows carry alpha == 0 (nbr_valid boundary-masked above)
+        num = num + alpha[d][..., None] * shift(hm, 1, off)
+    return num * mask[..., None].astype(h.dtype)
+
+
+def stencil_gatv2_flat(
+    h_l: jnp.ndarray,
+    h_r: jnp.ndarray,
+    att: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    hl_m = h_l * mask[..., None].astype(h_l.dtype)
+    maskf = mask.astype(jnp.float32)
+    dirs = _flat_dirs(grid_shape)
+    nbr_valid = _nbr_valid_flat(maskf, grid_shape)
+
+    att = att.astype(h_l.dtype)
+    es = []
+    for off, _ in dirs:
+        z = shift(hl_m, 1, off) + h_r
+        z = jnp.where(z >= 0, z, negative_slope * z)
+        es.append(jnp.einsum("brc,c->br", z, att, preferred_element_type=jnp.float32))
+    e = jnp.stack(es, axis=0)
+    e = jnp.where(nbr_valid > 0, e, _NEG_INF)
+
+    z_self = h_l + h_r
+    z_self = jnp.where(z_self >= 0, z_self, negative_slope * z_self)
+    e_self = jnp.einsum("brc,c->br", z_self, att, preferred_element_type=jnp.float32)
+
+    m = jnp.maximum(jnp.max(e, axis=0), e_self)
+    exp_e = jnp.exp(e - m[None]) * nbr_valid
+    exp_self = jnp.exp(e_self - m)
+
+    denom = jnp.maximum(jnp.sum(exp_e, axis=0) + exp_self, 1e-16)
+    alpha = (exp_e / denom[None]).astype(h_l.dtype)
+    alpha_self = (exp_self / denom).astype(h_l.dtype)
+    num = alpha_self[..., None] * h_l
+    for d, (off, _) in enumerate(dirs):
+        num = num + alpha[d][..., None] * shift(hl_m, 1, off)
+    return num * mask[..., None].astype(h_l.dtype)
+
+
+def stencil_gcn_flat(
+    h: jnp.ndarray, mask: jnp.ndarray, grid_shape: Tuple[int, int, int]
+) -> jnp.ndarray:
+    maskf = mask.astype(jnp.float32)
+    dirs = _flat_dirs(grid_shape)
+    nbr_valid = _nbr_valid_flat(maskf, grid_shape)
+    deg = jnp.sum(nbr_valid, axis=0) + 1.0
+    dinv = jax.lax.rsqrt(deg)
+
+    scaled = h * (dinv * maskf)[..., None].astype(h.dtype)
+    agg = scaled
+    for off, bm in dirs:
+        t = shift(scaled, 1, off)
+        if bm is not None:
+            # wrapped-in values come from VALID cells of adjacent rows; mask
+            t = t * jnp.asarray(bm, dtype=h.dtype)[None, :, None]
+        agg = agg + t
+    out = agg * dinv[..., None].astype(h.dtype)
+    return out * mask[..., None].astype(h.dtype)
+
+
+def stencil_sum_flat(
+    h: jnp.ndarray, mask: jnp.ndarray, grid_shape: Tuple[int, int, int]
+) -> jnp.ndarray:
+    hm = h * mask[..., None].astype(h.dtype)
+    out = jnp.zeros_like(h)
+    for off, bm in _flat_dirs(grid_shape):
+        t = shift(hm, 1, off)
+        if bm is not None:
+            t = t * jnp.asarray(bm, dtype=h.dtype)[None, :, None]
+        out = out + t
+    return out * mask[..., None].astype(h.dtype)

@@ -1,0 +1,34 @@
+import glob, time
+import numpy as np
+import jax, jax.numpy as jnp
+from building_gan_tpu.config import Configuration
+from building_gan_tpu.data import grid as gridlib, preprocess, synthetic
+from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
+from building_gan_tpu.train.state import create_train_state
+from building_gan_tpu.train.step import make_train_step
+
+N = 128
+samples = []
+for i in range(N):
+    g, l, v = synthetic.generate_building_real_scale(i)
+    samples.append(preprocess.process_building(g, l, v, Configuration(), f"{i:06d}"))
+cfg = Configuration(GRID_SHAPE=(11,12,12), GRID_SLOT_GRAPHS=1, GRID_LOCAL_NODES=64)
+batch = gridlib.pack_grid(samples, cfg.replace(GRID_BATCH=N))
+batch = jax.device_put(batch)
+
+gen = GridVoxelGNNGenerator(configuration=cfg)
+disc = GridVoxelGNNDiscriminator(configuration=cfg)
+state, tx_g, tx_d = create_train_state(cfg, gen, disc, batch, jax.random.key(0), 1000)
+step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d), donate_argnums=(0,))
+state, m = step(state, batch, jax.random.key(0)); _=float(m["g_loss"])
+t0=time.perf_counter()
+for s in range(4):
+    state, m = step(state, batch, jax.random.fold_in(jax.random.key(1), s))
+_=float(m["g_loss"])
+print(f"step: {(time.perf_counter()-t0)/4*1e3:.1f} ms", flush=True)
+
+with jax.profiler.trace("/tmp/jaxprof"):
+    for s in range(2):
+        state, m = step(state, batch, jax.random.fold_in(jax.random.key(2), s))
+    _=float(m["g_loss"])
+print("trace files:", glob.glob("/tmp/jaxprof/**/*.xplane.pb", recursive=True), flush=True)
