@@ -1,3 +1,11 @@
+"""Profile one train step on the TPU and dump an xplane trace.
+
+Run from the repo root; convert with xprof:
+    python scripts/profile_step.py
+    python -c "from xprof.convert import raw_to_tool_data as r; import glob; \
+        d,_=r.xspace_to_tool_data(glob.glob('/tmp/jaxprof/plugins/profile/*/*.xplane.pb'),'op_profile',{}); \
+        open('/tmp/op_profile.json','w').write(d)"
+"""
 import glob, time
 import numpy as np
 import jax, jax.numpy as jnp
