@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import stencil
+from ..ops.dropout import FastDropout
 
 
 class GridGraphNorm(nn.Module):
@@ -241,7 +242,7 @@ class GridHourglass(nn.Module):
                 name=f"norm_{i}",
             )(x, mask, gid=gid, num_graphs=num_graphs)
             x = nn.relu(x)
-            x = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(x)
+            x = FastDropout(rate=self.dropout_rate)(x, deterministic)
         if orig_shape is not None:
             x = x.reshape(orig_shape)
         return x

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import segment as seg
+from ..ops.dropout import FastDropout
 from ..ops.message_passing import gat_aggregate
 
 
@@ -242,5 +243,5 @@ class HourglassGNN(nn.Module):
             # layers and padded activations overflow to inf/NaN.
             x = x * node_mask[:, None]
             x = nn.relu(x)
-            x = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(x)
+            x = FastDropout(rate=self.dropout_rate)(x, deterministic)
         return x

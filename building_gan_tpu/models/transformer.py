@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import FastDropout
 from ..config import Configuration, NUM_CLASSES
 from ..ops.gumbel import gumbel_softmax_st
 from .grid_layers import grid_type_matched_pooling
@@ -71,13 +72,13 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, mask, deterministic: bool):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = GridSelfAttention(dim=self.dim, heads=self.heads, dtype=self.dtype, name="attn")(h, mask)
-        h = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(h)
+        h = FastDropout(rate=self.dropout_rate)(h, deterministic)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_in")(h)
         h = nn.gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(h)
-        h = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(h)
+        h = FastDropout(rate=self.dropout_rate)(h, deterministic)
         return (x + h) * mask[..., None]
 
 

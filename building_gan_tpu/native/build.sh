@@ -4,3 +4,5 @@ set -e
 cd "$(dirname "$0")"
 g++ -O2 -std=c++17 -fPIC -shared -o libbuildingjson.so buildingjson.cc
 echo "built $(pwd)/libbuildingjson.so"
+g++ -O2 -std=c++17 -fPIC -shared -pthread -o libbatcher.so batcher.cc
+echo "built $(pwd)/libbatcher.so"

@@ -6,7 +6,8 @@ Run from the repo root; convert with xprof:
         d,_=r.xspace_to_tool_data(glob.glob('/tmp/jaxprof/plugins/profile/*/*.xplane.pb'),'op_profile',{}); \
         open('/tmp/op_profile.json','w').write(d)"
 """
-import glob, time
+import glob, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 from building_gan_tpu.config import Configuration
@@ -20,7 +21,10 @@ samples = []
 for i in range(N):
     g, l, v = synthetic.generate_building_real_scale(i)
     samples.append(preprocess.process_building(g, l, v, Configuration(), f"{i:06d}"))
-cfg = Configuration(GRID_SHAPE=(11,12,12), GRID_SLOT_GRAPHS=1, GRID_LOCAL_NODES=64)
+cfg = Configuration(
+    GRID_SHAPE=(11,12,12), GRID_SLOT_GRAPHS=1, GRID_LOCAL_NODES=64,
+    ENCODER_DROPOUT_RATE=float(os.environ.get("PROF_DROPOUT", "0.2")),
+)
 batch = gridlib.pack_grid(samples, cfg.replace(GRID_BATCH=N))
 batch = jax.device_put(batch)
 
@@ -35,8 +39,8 @@ for s in range(4):
 _=float(m["g_loss"])
 print(f"step: {(time.perf_counter()-t0)/4*1e3:.1f} ms", flush=True)
 
-with jax.profiler.trace("/tmp/jaxprof"):
+with jax.profiler.trace(os.environ.get("PROF_DIR", "/tmp/jaxprof")):
     for s in range(2):
         state, m = step(state, batch, jax.random.fold_in(jax.random.key(2), s))
     _=float(m["g_loss"])
-print("trace files:", glob.glob("/tmp/jaxprof/**/*.xplane.pb", recursive=True), flush=True)
+print("trace files:", glob.glob(os.environ.get("PROF_DIR", "/tmp/jaxprof") + "/**/*.xplane.pb", recursive=True), flush=True)

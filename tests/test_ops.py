@@ -180,3 +180,29 @@ def test_gumbel_st():
     # gradients flow (nonzero) through the hard sample
     g = jax.grad(lambda lg: (gumbel_softmax_st(lg, key)[0] * jnp.arange(7.0)).sum())(logits)
     assert np.abs(np.array(g)).sum() > 0
+
+
+def test_fast_dropout_semantics():
+    """FastDropout: exact inverse-keep scaling, masked-out fraction near the
+    quantized rate, deterministic mode is identity, rate 0 is identity."""
+    import jax
+    import jax.numpy as jnp
+    from building_gan_tpu.ops.dropout import FastDropout
+
+    x = jnp.ones((64, 1024))
+    fd = FastDropout(rate=0.2)
+    out = fd.apply({}, x, False, rngs={"dropout": jax.random.key(0)})
+    vals = np.unique(np.array(out))
+    # only 0 and 1/keep_p survive
+    keep_p = 1.0 - round(0.2 * 256) / 256
+    for v in vals:
+        assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep_p, rtol=1e-5), v
+    drop_frac = float((out == 0).mean())
+    assert abs(drop_frac - (1 - keep_p)) < 0.01
+    # E[out] == x
+    assert abs(float(out.mean()) - 1.0) < 0.02
+
+    ident = fd.apply({}, x, True)
+    np.testing.assert_array_equal(np.array(ident), np.array(x))
+    ident0 = FastDropout(rate=0.0).apply({}, x, False)
+    np.testing.assert_array_equal(np.array(ident0), np.array(x))
