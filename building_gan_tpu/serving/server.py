@@ -66,8 +66,10 @@ class InferenceServer:
             # where in the batch the request landed
             kz, kg = jax.random.split(self._base_key)
 
+            from ..ops.rng import normal_box_muller
+
             def z_for(s):
-                return jax.random.normal(
+                return normal_box_muller(
                     jax.random.fold_in(kz, s), (F, Y, X, cfg.Z_DIM), dtype=jnp.float32
                 )
 

@@ -30,6 +30,7 @@ import optax
 from ..config import Configuration, NUM_CLASSES
 from . import losses as L
 from . import metrics as M
+from ..ops.rng import normal_box_muller
 from .losses import _batch_fields
 from .state import TrainState
 
@@ -61,7 +62,7 @@ def make_train_step(
     def generator_forward(params_g, batch, key, deterministic=False):
         kz, kgum, kdrop = jax.random.split(key, 3)
         _, mask, _ = _batch_fields(batch)
-        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
+        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
         return gen.apply(
             {"params": params_g},
             batch,
@@ -208,7 +209,7 @@ def make_eval_step(cfg: Configuration, gen, disc, axis_name: Optional[str] = Non
     def eval_step(state: TrainState, batch, key: jax.Array):
         kz, kgum = jax.random.split(key)
         types, mask, is_grid = _batch_fields(batch)
-        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
+        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
         logits, label_hard, _ = gen.apply(
             {"params": state.params_g},
             batch,

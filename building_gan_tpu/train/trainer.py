@@ -261,7 +261,9 @@ class Trainer:
         cfg = self.configuration
         kz, kgum = jax.random.split(key)
         _, mask, _ = _batch_fields(batch)
-        z = jax.random.normal(kz, mask.shape + (cfg.Z_DIM,))
+        from ..ops.rng import normal_box_muller
+
+        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,))
         if (
             cfg.USE_PALLAS
             and cfg.LAYOUT == "grid"
