@@ -44,14 +44,51 @@ def save_states(log_dir: str, state, meta: dict) -> None:
     os.replace(tmp, os.path.join(log_dir, META_FILE))
 
 
+def _migrate_opt_g(raw: dict, template) -> dict:
+    """Map a round-1 plain-Adam ``opt_g`` into the inject_hyperparams layout.
+
+    Round 1 built ``tx_g = optax.adam(...)`` (state serialized as a 2-tuple
+    {'0': ScaleByAdamState, '1': EmptyState}); round 2+ wraps it in
+    ``optax.inject_hyperparams`` whose state adds count/hyperparams around the
+    same inner tuple.  Old checkpoints restore with the template's initial
+    hyperparams — the trainer re-sets the cosine G LR at the next epoch
+    boundary (`set_g_lr`), so the migrated value is correct within one epoch.
+    """
+    og = raw.get("opt_g")
+    if not (isinstance(og, dict) and set(og.keys()) == {"0", "1"}):
+        return raw  # already the new layout (or something else entirely)
+    tmpl_raw = serialization.to_state_dict(jax.device_get(template))
+    new_og = dict(tmpl_raw["opt_g"])  # count/hyperparams[/hyperparams_states]
+    new_og["inner_state"] = og
+    # old ScaleByAdamState.count drives bias correction; keep it as the outer
+    # count too (inject_hyperparams counts the same updates)
+    try:
+        new_og["count"] = og["0"]["count"]
+    except (KeyError, TypeError):
+        pass
+    out = dict(raw)
+    out["opt_g"] = new_og
+    return out
+
+
 def load_states(log_dir: str, state_template) -> Optional[Tuple[object, dict]]:
-    """Restore (state, meta) from ``log_dir`` or None if no checkpoint."""
+    """Restore (state, meta) from ``log_dir`` or None if no checkpoint.
+
+    Transparently migrates round-1 checkpoints whose ``opt_g`` predates the
+    ``inject_hyperparams`` wrapper (see :func:`_migrate_opt_g`).
+    """
     path = os.path.join(log_dir, STATE_FILE)
     meta_path = os.path.join(log_dir, META_FILE)
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        state = serialization.from_bytes(state_template, f.read())
+        data = f.read()
+    try:
+        state = serialization.from_bytes(state_template, data)
+    except (ValueError, KeyError):
+        raw = serialization.msgpack_restore(data)
+        raw = _migrate_opt_g(raw, state_template)
+        state = serialization.from_state_dict(state_template, raw)
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

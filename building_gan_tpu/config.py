@@ -204,6 +204,13 @@ class Configuration:
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
             self.SANITY_CHECKING = True
+        if self.GRID_SLOT_GRAPHS > 1 and self.GRID_BUCKETS:
+            # the multipack branch of the pipeline takes precedence and would
+            # silently ignore bucket routing (ADVICE r2) — make it explicit
+            raise ValueError(
+                "GRID_SLOT_GRAPHS > 1 (3D bin packing) and GRID_BUCKETS "
+                "(shape-bucket routing) are mutually exclusive; set one."
+            )
         if self.SANITY_CHECKING:
             # Reference behavior (config.py:112-117): sanity mode trains on a
             # single datum with batch size 1.

@@ -26,11 +26,23 @@ struct Batcher {
   std::mutex mu;
   std::condition_variable queue_cv;    // signaled on submit/shutdown
   std::condition_variable done_cv;     // signaled on completion
+  std::condition_variable drain_cv;    // signaled when the last waiter leaves
   std::deque<std::pair<int64_t, Clock::time_point>> queue;
   std::unordered_set<int64_t> done;
   int32_t max_batch;
   int64_t max_delay_us;
+  int32_t waiters = 0;  // threads blocked in sb_wait / sb_next_batch
   bool shutdown = false;
+};
+
+// RAII waiter count: sb_destroy must not free the Batcher while any thread
+// still sleeps on its mutex/condvars (use-after-free otherwise).
+struct WaiterGuard {
+  explicit WaiterGuard(Batcher* b) : b_(b) { ++b_->waiters; }  // caller holds mu
+  ~WaiterGuard() {
+    if (--b_->waiters == 0) b_->drain_cv.notify_all();
+  }
+  Batcher* b_;
 };
 
 }  // namespace
@@ -44,14 +56,17 @@ void* sb_create(int32_t max_batch, int64_t max_delay_us) {
   return b;
 }
 
+// Shut down, wait for every blocked waiter to drain, then free.  Safe to
+// call while sb_wait / sb_next_batch calls are in flight on other threads.
 void sb_destroy(void* h) {
   auto* b = static_cast<Batcher*>(h);
   {
-    std::lock_guard<std::mutex> lk(b->mu);
+    std::unique_lock<std::mutex> lk(b->mu);
     b->shutdown = true;
+    b->queue_cv.notify_all();
+    b->done_cv.notify_all();
+    while (b->waiters > 0) b->drain_cv.wait(lk);
   }
-  b->queue_cv.notify_all();
-  b->done_cv.notify_all();
   delete b;
 }
 
@@ -83,6 +98,7 @@ int32_t sb_next_batch(void* h, int64_t* out_ids, int32_t cap,
                       int64_t poll_timeout_us) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
+  WaiterGuard guard(b);
   const auto poll_deadline =
       Clock::now() + std::chrono::microseconds(poll_timeout_us);
 
@@ -126,6 +142,7 @@ void sb_complete(void* h, const int64_t* ids, int32_t n) {
 int32_t sb_wait(void* h, int64_t request_id, int64_t timeout_us) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
+  WaiterGuard guard(b);
   const auto deadline = Clock::now() + std::chrono::microseconds(timeout_us);
   while (true) {
     auto it = b->done.find(request_id);

@@ -89,6 +89,18 @@ class NativeBatcher:
     def shutdown(self) -> None:
         _lib.sb_shutdown(self._h)
 
+    def close(self) -> None:
+        """Shut down and free the native handle (drains blocked waiters)."""
+        h, self._h = self._h, None
+        if h:
+            _lib.sb_destroy(h)
+
+    def __del__(self):  # last-resort cleanup; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 class PyBatcher:
     """Pure-Python fallback with the same semantics (condition variables)."""
@@ -154,6 +166,9 @@ class PyBatcher:
         with self._lock:
             self._shutdown = True
             self._lock.notify_all()
+
+    def close(self) -> None:
+        self.shutdown()
 
 
 def make_batcher(max_batch: int, max_delay_us: int):

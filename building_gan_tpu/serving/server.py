@@ -104,6 +104,7 @@ class InferenceServer:
         self._batcher.shutdown()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        self._batcher.close()  # frees the native handle (batcher.cc sb_destroy)
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
@@ -115,29 +116,43 @@ class InferenceServer:
             if not ids:
                 continue
             with self._lock:
-                reqs = [self._staged.pop(i) for i in ids]
-            samples = [(r[0], r[1]) for r in reqs]
-            seeds = np.array([r[2] for r in reqs], np.int32)
-            seeds = np.pad(seeds, (0, self.max_batch - len(seeds)))
-            batch = gridlib.pack_grid(
-                samples, self.configuration, batch_slots=self.max_batch
-            )
-            logits, hard, soft = self._serve(self.params_g, batch, jnp.array(seeds))
-            logits, hard, soft = (
-                np.array(logits), np.array(hard), np.array(soft)
-            )
-            with self._lock:
-                for slot, (i, (local, voxel)) in enumerate(zip(ids, samples)):
-                    pos = voxel.location.astype(int)
-                    f_, y_, x_ = pos[:, 0], pos[:, 1], pos[:, 2]
-                    self._results[i] = {
-                        "logits": logits[slot, f_, y_, x_],
-                        "label_hard": hard[slot, f_, y_, x_],
-                        "label_soft": soft[slot, f_, y_, x_],
-                        "types": np.argmax(hard[slot, f_, y_, x_], axis=-1),
-                    }
-            self.batch_sizes.append(len(ids))
-            self._batcher.complete(ids)
+                # a timed-out request may have withdrawn its staged entry
+                pairs = [(i, self._staged.pop(i)) for i in ids if i in self._staged]
+            if not pairs:
+                self._batcher.complete(ids)
+                continue
+            ids = [i for i, _ in pairs]
+            reqs = [r for _, r in pairs]
+            try:
+                samples = [(r[0], r[1]) for r in reqs]
+                seeds = np.array([r[2] for r in reqs], np.int32)
+                seeds = np.pad(seeds, (0, self.max_batch - len(seeds)))
+                batch = gridlib.pack_grid(
+                    samples, self.configuration, batch_slots=self.max_batch
+                )
+                logits, hard, soft = self._serve(self.params_g, batch, jnp.array(seeds))
+                logits, hard, soft = (
+                    np.array(logits), np.array(hard), np.array(soft)
+                )
+                with self._lock:
+                    for slot, (i, (local, voxel)) in enumerate(zip(ids, samples)):
+                        pos = voxel.location.astype(int)
+                        f_, y_, x_ = pos[:, 0], pos[:, 1], pos[:, 2]
+                        self._results[i] = {
+                            "logits": logits[slot, f_, y_, x_],
+                            "label_hard": hard[slot, f_, y_, x_],
+                            "label_soft": soft[slot, f_, y_, x_],
+                            "types": np.argmax(hard[slot, f_, y_, x_], axis=-1),
+                        }
+                self.batch_sizes.append(len(ids))
+            except Exception as exc:  # noqa: BLE001 — isolate the poison batch
+                # a failing batch fails ITS requests (error propagated to each
+                # waiting infer() call); the executor itself survives
+                with self._lock:
+                    for i in ids:
+                        self._results[i] = {"error": exc}
+            finally:
+                self._batcher.complete(ids)
 
     # ------------------------------------------------------------------
     def infer(self, local, voxel, seed: int = 0, timeout_s: float = 120.0) -> dict:
@@ -146,12 +161,45 @@ class InferenceServer:
         Returns per-voxel arrays in the request's node order:
         ``{"logits": (n,7), "label_hard": (n,7), "label_soft": (n,7),
         "types": (n,)}``.
+
+        Raises ``ValueError`` at submit time for buildings that cannot fit
+        the server's static shapes (instead of wedging the executor), and
+        re-raises any executor-side failure of this request's batch.
         """
+        cfg = self.configuration
+        F, Y, X = cfg.GRID_SHAPE
+        loc = np.asarray(voxel.location)
+        if loc.shape[0] == 0:
+            raise ValueError("building has no voxels")
+        extent = loc.max(axis=0) + 1
+        if (loc.min() < 0) or (extent > np.array([F, Y, X])).any():
+            raise ValueError(
+                f"building extent {tuple(int(e) for e in extent)} exceeds the "
+                f"server grid {cfg.GRID_SHAPE}; resize or use a larger-grid server"
+            )
+        n_local = np.asarray(local.x).shape[0]
+        if n_local > cfg.GRID_LOCAL_NODES:
+            raise ValueError(
+                f"program graph has {n_local} nodes > GRID_LOCAL_NODES="
+                f"{cfg.GRID_LOCAL_NODES}"
+            )
+
         with self._lock:
             rid = self._next_id
             self._next_id += 1
             self._staged[rid] = (local, voxel, seed)
         self._batcher.submit(rid)
-        self._batcher.wait(rid, int(timeout_s * 1e6))
+        try:
+            self._batcher.wait(rid, int(timeout_s * 1e6))
+        except Exception:
+            # withdraw so a late-executing batch skips us, and drop any
+            # result that raced in — no leaked _staged/_results entries
+            with self._lock:
+                self._staged.pop(rid, None)
+                self._results.pop(rid, None)
+            raise
         with self._lock:
-            return self._results.pop(rid)
+            result = self._results.pop(rid)
+        if "error" in result:
+            raise RuntimeError(f"inference batch failed: {result['error']}") from result["error"]
+        return result

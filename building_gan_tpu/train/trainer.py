@@ -64,6 +64,9 @@ class Trainer:
         log_dir: Optional[str] = None,
         mesh=None,
     ):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()  # reuse compiled steps across runs/resumes
         self.generator = generator
         self.discriminator = discriminator
         self.dataloaders = dataloaders

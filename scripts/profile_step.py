@@ -10,13 +10,15 @@ import glob, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
+from building_gan_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 from building_gan_tpu.config import Configuration
 from building_gan_tpu.data import grid as gridlib, preprocess, synthetic
 from building_gan_tpu.models import GridVoxelGNNDiscriminator, GridVoxelGNNGenerator
 from building_gan_tpu.train.state import create_train_state
 from building_gan_tpu.train.step import make_train_step
 
-N = 128
+N = int(os.environ.get("PROF_N", "128"))
 samples = []
 for i in range(N):
     g, l, v = synthetic.generate_building_real_scale(i)

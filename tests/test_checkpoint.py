@@ -47,6 +47,34 @@ def test_ckpt_patch_epoch_start(tmp_path, synthetic_samples, small_cfg):
     assert meta["best_f1_score"] == 0.9  # best weights/metadata untouched
 
 
+def test_ckpt_migrates_round1_opt_g_layout(tmp_path, synthetic_samples, small_cfg):
+    """A checkpoint saved with plain optax.adam for G (pre-inject_hyperparams)
+    restores into the current TrainState instead of erroring (ADVICE r2)."""
+    import optax
+
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    # forge the old layout: opt_g as a plain adam state over the same params
+    tx_old = optax.adam(cfg.LEARNING_RATE_GENERATOR, b1=cfg.BETAS[0], b2=cfg.BETAS[1])
+    opt_g_old = tx_old.init(jax.device_get(state.params_g))
+    # advance the inner count so the migration has something to carry over
+    inner = opt_g_old[0]._replace(count=jnp.asarray(42, jnp.int32))
+    old_state = state.replace(opt_g=(inner, opt_g_old[1]))
+    ckpt.save_states(str(tmp_path), old_state, {"epoch_start": 5, "best_f1_score": 0.1})
+
+    restored, meta = ckpt.load_states(str(tmp_path), state)
+    assert meta["epoch_start"] == 5
+    assert int(restored.opt_g.count) == 42
+    assert int(restored.opt_g.inner_state[0].count) == 42
+    for a, b in zip(
+        jax.tree.leaves(state.params_g), jax.tree.leaves(restored.params_g)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state must still drive the optimizer
+    from building_gan_tpu.train.state import set_g_lr
+
+    _ = set_g_lr(restored, 1e-4)
+
+
 def test_torch_converter_roundtrip(synthetic_samples, small_cfg):
     """flax -> torch-layout -> flax must be the identity."""
     cfg, state = _make_state(synthetic_samples, small_cfg)

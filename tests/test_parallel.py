@@ -126,7 +126,10 @@ def test_parallel_eval_equivalence(synthetic_samples, small_cfg):
     for d, pack in enumerate(packs):
         key = jax.random.fold_in(jax.random.key(3), d)
         kz, kgum = jax.random.split(key)
-        z = jax.random.normal(kz, (pack.voxel_x.shape[0], cfg.Z_DIM))
+        # must draw z with the SAME sampler the eval step uses (train/step.py:212)
+        from building_gan_tpu.ops.rng import normal_box_muller
+
+        z = normal_box_muller(kz, (pack.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
         logits, label_hard, _ = gen.apply(
             {"params": state.params_g}, pack, z, deterministic=True, rngs={"gumbel": kgum}
         )

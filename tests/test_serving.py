@@ -74,6 +74,74 @@ def server(synthetic_samples, small_cfg):
     srv.stop()
 
 
+@pytest.mark.parametrize(
+    "cls",
+    [batcherlib.NativeBatcher, batcherlib.PyBatcher]
+    if batcherlib.native_available()
+    else [batcherlib.PyBatcher],
+)
+def test_batcher_close_with_blocked_waiters(cls):
+    """close() while threads are blocked must unblock them, not crash
+    (batcher.cc sb_destroy waits for waiters to drain — no use-after-free)."""
+    b = cls(max_batch=4, max_delay_us=50_000)
+    errs = []
+
+    def waiter():
+        try:
+            b.wait(123, timeout_us=10_000_000)
+        except (RuntimeError, TimeoutError):
+            pass
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def fetcher():
+        try:
+            b.next_batch(poll_timeout_us=10_000_000)
+        except (StopIteration, RuntimeError):
+            pass
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=waiter), threading.Thread(target=fetcher)]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)  # let both block
+    b.close()
+    for t in threads:
+        t.join(timeout=5)
+    assert not any(t.is_alive() for t in threads)
+    assert not errs
+
+
+def test_server_rejects_oversized_at_submit(server, synthetic_samples):
+    """A building exceeding the server grid fails fast in infer(), without
+    touching (or wedging) the executor thread."""
+    import dataclasses
+
+    local, voxel = synthetic_samples[0]
+    big = dataclasses.replace(
+        voxel, location=voxel.location + np.array([0, 0, 100], voxel.location.dtype)
+    )
+    with pytest.raises(ValueError, match="exceeds the server grid"):
+        server.infer(local, big, seed=5)
+    # server still serves normal traffic afterwards
+    ok = server.infer(local, voxel, seed=5, timeout_s=300.0)
+    assert ok["logits"].shape == (voxel.x.shape[0], 7)
+
+
+def test_server_survives_poison_request(server, synthetic_samples):
+    """A request that passes submit validation but fails in the executor
+    (malformed feature width) fails THAT request; later requests succeed."""
+    import dataclasses
+
+    local, voxel = synthetic_samples[0]
+    poison = dataclasses.replace(voxel, x=voxel.x[:, :5].copy())  # wrong width
+    with pytest.raises(RuntimeError, match="inference batch failed"):
+        server.infer(local, poison, seed=9, timeout_s=300.0)
+    ok = server.infer(local, voxel, seed=9, timeout_s=300.0)
+    assert ok["logits"].shape == (voxel.x.shape[0], 7)
+
+
 def test_server_concurrent_requests_batch_and_match(server, synthetic_samples):
     """Concurrent requests get batched; each result is identical to the same
     request served alone (per-request z/Gumbel seeds, per-graph norms)."""
