@@ -78,8 +78,15 @@ class GridGraphNorm(nn.Module):
             inv = weight * jax.lax.rsqrt(var + self.eps)  # (B,K,C)
             scale = inv.astype(x.dtype)
             shift = (bias - s * inv).astype(x.dtype)
-            scale_cell = jnp.einsum("brk,bkc->brc", oh, scale)
-            shift_cell = jnp.einsum("brk,bkc->brc", oh, shift)
+            # Apply in ONE fused elementwise pass.  The former pair of
+            # "brk,bkc->brc" einsums materialized two full (B,R,C) HBM temps
+            # per layer — measured as the reason K=6 multipack LOST throughput
+            # despite doubling fill (docs/PERF.md §4).  A broadcast-multiply
+            # + reduce over the tiny K axis fuses with the x*scale+shift
+            # consumer into a single loop fusion: reads xr + oh, writes y.
+            ohk = oh[..., None]  # (B,R,K,1)
+            scale_cell = jnp.sum(ohk * scale[:, None], axis=2)  # (B,R,C) fused
+            shift_cell = jnp.sum(ohk * shift[:, None], axis=2)
             # oh is already masked, so shift_cell vanishes on invalid cells
             return (xr * scale_cell + shift_cell).reshape(orig)
 
@@ -282,8 +289,10 @@ def grid_type_matched_pooling(
         table = sums / jnp.maximum(counts, 1.0)[..., None]
         table = (table * (counts > 0)[..., None]).astype(local_x.dtype)
         key_v = (gid * num_classes + voxel_type).reshape(B, -1)
+        # fused table readback: one_hot is computed inline (iota-compare) and
+        # the K*T reduction fuses with it — no (B,R,KT) HBM materialization
         onehot_v = jax.nn.one_hot(key_v, kt, dtype=local_x.dtype)  # (B,R,KT)
-        out = jnp.einsum("brt,btc->brc", onehot_v, table)
+        out = jnp.sum(onehot_v[..., None] * table[:, None], axis=2)  # (B,R,C)
         return out.reshape((B,) + cells + (C,))
 
     onehot_l = jax.nn.one_hot(local_type, num_classes, dtype=local_x.dtype)  # (B,NL,T)
