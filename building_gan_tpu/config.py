@@ -200,6 +200,16 @@ class Configuration:
     # is already fast and the fused kernel's full-size compile is impractical
     # through this environment's remote-compile tunnel (docs/PALLAS.md).
     USE_PALLAS: bool = False
+    # Fused custom-VJP Pallas hourglass in the TRAINING step (grid layout,
+    # GATCONV): one kernel per layer each way instead of ~10 XLA fusion
+    # passes.  Real/fake critic passes and all generator passes run fused;
+    # the GP critic pass stays XLA (custom_vjp is first-order).  Measured
+    # SLOWER than the XLA path at reference scale (recompute is VPU-bound:
+    # 339 ms/hourglass traversal vs ~150 ms for XLA's entire G grad —
+    # docs/PALLAS.md "Round-3 outcome"), so OFF by default; kept for larger
+    # channel counts where the MXU/VPU balance shifts.  ops/pallas/gat_train.py.
+    USE_PALLAS_TRAIN: bool = False
+    PALLAS_TRAIN_TILE: int = 1
 
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:

@@ -166,6 +166,40 @@ def shard_grid_batch(batch, mesh: Mesh):
     return type(batch)(**kwargs)
 
 
+def make_sp_train_step(cfg, gen, disc, tx_g, tx_d, mesh: Mesh):
+    """Full WGAN-GP train step under floor (node-axis) sharding — GSPMD.
+
+    Closes SURVEY.md §2.3(b): not just the forward but the whole jitted
+    adversarial step — the N_CRITIC critic loop, the GP double-backward
+    (``jax.grad`` through the halo stencils), generator update, and metrics —
+    runs with the dense cell block sharded P(None, 'sp') on the floor axis
+    and parameters replicated.  XLA's SPMD partitioner inserts the
+    ghost-plane ``collective-permute``s for every stencil shift (forward AND
+    transposed/backward) and ``all-reduce``s for the parameter gradients —
+    zero manual communication in model or loss code.  Semantically identical
+    to the unsharded `train.step.make_train_step` program (asserted in
+    `tests/test_sp.py::test_sp_train_step_matches_unsharded`): same z/Gumbel/
+    GP noise (threefry bits are position-keyed, so partitioning preserves
+    values), same updates.
+
+    Composes with data parallelism: pass a 2-D mesh and shard the slot axis
+    of the batch with P('dp', 'sp') via ``shard_grid_batch``'s specs.
+    """
+    from ..train.step import make_train_step
+
+    step = make_train_step(cfg, gen, disc, tx_g, tx_d)  # no axis_name: GSPMD
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, batch, key):
+        state = jax.device_put(state, repl)
+        batch = shard_grid_batch(batch, mesh)
+        return jitted(state, batch, key)
+
+    run.jitted = jitted
+    return run
+
+
 def sp_generator_apply(gen, mesh: Mesh):
     """Jitted generator forward with batch floor-sharded, params replicated.
 

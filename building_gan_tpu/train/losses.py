@@ -76,14 +76,23 @@ def discriminator_loss(
     voxel_mask: jnp.ndarray,
     key: jax.Array,
     cfg: Configuration,
+    d_apply_gp: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Critic loss (reference trainer.py:318-332)."""
+    """Critic loss (reference trainer.py:318-332).
+
+    ``d_apply_gp`` (default: ``d_apply``) is the critic used inside the
+    gradient penalty, which is differentiated TWICE (once w.r.t. the
+    interpolated label here, once more w.r.t. the critic parameters by the
+    caller).  The fused Pallas critic (`models/fast_train.py`) is first-order
+    (custom_vjp), so the fused train step passes the XLA critic for this term
+    while real/fake passes run fused.
+    """
     d_real = d_apply(types_onehot)
     d_fake = d_apply(label_hard)
     if cfg.USE_WGANGP:
         loss = masked_mean(d_fake, voxel_mask) - masked_mean(d_real, voxel_mask)
         loss += gradient_penalty(
-            d_apply, types_onehot, label_soft, voxel_mask, key, cfg.LAMBDA_GP
+            d_apply_gp or d_apply, types_onehot, label_soft, voxel_mask, key, cfg.LAMBDA_GP
         )
     else:
         eps = 1e-7

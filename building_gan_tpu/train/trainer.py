@@ -100,9 +100,15 @@ class Trainer:
                 cfg, generator, discriminator, self.tx_g, self.tx_d, mesh
             )
         else:
+            jit_kwargs = {}
+            if getattr(cfg, "USE_PALLAS_TRAIN", False):
+                from ..ops.pallas.gat_train import TRAIN_COMPILER_OPTIONS
+
+                jit_kwargs["compiler_options"] = TRAIN_COMPILER_OPTIONS
             self.train_step = jax.jit(
                 make_train_step(cfg, generator, discriminator, self.tx_g, self.tx_d),
                 donate_argnums=(0,),
+                **jit_kwargs,
             )
         if mesh is not None:
             # sharded eval: whole stacked batch in one program, psum-ed scores

@@ -26,6 +26,18 @@ from building_gan_tpu.config import Configuration  # noqa: E402
 from building_gan_tpu.data import preprocess, synthetic  # noqa: E402
 
 
+@pytest.fixture
+def highest_precision():
+    """Full-f32 matmuls for cross-compilation equivalence tests.
+
+    At DEFAULT precision this backend's dots carry bf16-class rounding
+    (measured 4.6e-2 max err on a 48x8 f32 dot) that differs between
+    separately compiled programs — any test comparing an oracle compiled
+    separately from the program under test needs this."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 @pytest.fixture(scope="session")
 def small_cfg():
     """Config with small packing budgets suited to synthetic test buildings."""

@@ -95,6 +95,164 @@ def test_dp_null_fill_equivalence(synthetic_samples, small_cfg):
         np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-6)
 
 
+def test_masked_mean_node_weighting_is_merged_mean():
+    """Lemma behind the node-weighted DP aggregation (VERDICT r2 #6):
+    sum_d(n_d * shard_mean_d) / sum_d(n_d) == mean over the merged batch."""
+    from building_gan_tpu.train.losses import masked_mean
+
+    rng = np.random.default_rng(0)
+    vals, masks = [], []
+    for n_real, cap in [(3, 16), (11, 16), (0, 16), (16, 16)]:
+        v = rng.normal(size=cap).astype(np.float32)
+        mk = np.zeros(cap, np.float32)
+        mk[:n_real] = 1.0
+        vals.append(v)
+        masks.append(mk)
+    shard_means = [float(masked_mean(jnp.array(v), jnp.array(mk))) for v, mk in zip(vals, masks)]
+    weights = [mk.sum() for mk in masks]
+    combined = sum(w * m for w, m in zip(weights, shard_means)) / sum(weights)
+    merged = float(masked_mean(jnp.array(np.concatenate(vals)), jnp.array(np.concatenate(masks))))
+    assert np.isclose(combined, merged, rtol=1e-6)
+
+
+def test_dp_uneven_pack_equivalence(synthetic_samples, small_cfg, highest_precision):
+    """DP with UNEVENLY filled packs (2 graphs / 1 graph / null / null) ==
+    a sequential oracle that aggregates per-pack losses and gradients with
+    exact node-count weights — the merged-batch-mean semantics the reference
+    gets for free on one GPU (VERDICT r2 #6: a pack holding 1 graph must not
+    weigh the same as a full one)."""
+    import optax
+
+    from building_gan_tpu.config import NUM_CLASSES
+    from building_gan_tpu.data.pipeline import null_like
+    from building_gan_tpu.ops.rng import normal_box_muller
+    from building_gan_tpu.train import losses as L
+
+    cfg = tiny_cfg(small_cfg, PACK_GRAPHS=2, COMPUTE_DTYPE="float32")
+    m = meshlib.make_mesh(4)
+    packs = batching.pack_graphs(synthetic_samples[:3], cfg)  # 2 graphs + 1 graph
+    assert len(packs) == 2
+    assert float(np.sum(packs[0].voxel_mask)) != float(np.sum(packs[1].voxel_mask))
+    stacked = batching.stack_packs(packs + [null_like(packs[0])] * 2)
+
+    gen = VoxelGNNGenerator(configuration=cfg)
+    disc = VoxelGNNDiscriminator(configuration=cfg)
+    state, _, _ = create_train_state(cfg, gen, disc, packs[0], jax.random.key(0), 10)
+    # SGD: keeps param deltas proportional to gradients so the cross-program
+    # comparison tests the AGGREGATION, not Adam's ±lr normalization of
+    # float-noise-level gradient components (see test_sp.py for rationale)
+    tx_g = optax.sgd(1e-2)
+    tx_d = optax.sgd(1e-2)
+    state = state.replace(opt_g=tx_g.init(state.params_g), opt_d=tx_d.init(state.params_d))
+    multi = dp.make_parallel_train_step(cfg, gen, disc, tx_g, tx_d, m, fold_device_rng=False)
+
+    # ---- sequential oracle: per-pack grads, node-count-weighted combine ----
+    # (runs BEFORE the DP step — multi donates `state`'s buffers)
+    weights = [float(np.sum(p.voxel_mask)) for p in packs]
+
+    def g_forward(params_g, pack, key):
+        kz, kgum, kdrop = jax.random.split(key, 3)
+        z = normal_box_muller(kz, (pack.voxel_x.shape[0], cfg.Z_DIM), dtype=jnp.float32)
+        return gen.apply(
+            {"params": params_g}, pack, z, deterministic=False,
+            rngs={"gumbel": kgum, "dropout": kdrop},
+        )
+
+    def d_apply(params_d, pack, label, key):
+        return disc.apply(
+            {"params": params_d}, pack, label, deterministic=False, rngs={"dropout": key}
+        )
+
+    def d_grad_one(params_g, params_d, pack, key):
+        kgen, kgp, kd, _ = jax.random.split(key, 4)
+        t_oh = jax.nn.one_hot(pack.voxel_type, NUM_CLASSES, dtype=jnp.float32)
+        t_oh = t_oh * pack.voxel_mask[..., None]
+        _, lh, ls = g_forward(params_g, pack, kgen)
+        lh, ls = jax.lax.stop_gradient(lh), jax.lax.stop_gradient(ls)
+
+        def loss(pd):
+            return L.discriminator_loss(
+                lambda lbl: d_apply(pd, pack, lbl, kd), t_oh, lh, ls,
+                jnp.asarray(pack.voxel_mask), kgp, cfg,
+            )
+
+        return jax.value_and_grad(loss)(params_d)
+
+    def g_grad_one(params_g, params_d, pack, key):
+        kg = jax.random.fold_in(key, cfg.N_CRITIC)
+        kgd = jax.random.fold_in(key, cfg.N_CRITIC + 1)
+
+        def loss(pg):
+            logits, lh, _ = g_forward(pg, pack, kg)
+            out, _ = L.generator_loss(
+                lambda lbl: d_apply(params_d, pack, lbl, kgd), pack, logits, lh, cfg
+            )
+            return out
+
+        return jax.value_and_grad(loss)(params_g)
+
+    d_grad_one = jax.jit(d_grad_one)
+    g_grad_one = jax.jit(g_grad_one)
+
+    def combine(grads_list, ws):
+        sw = sum(ws)
+        return jax.tree.map(
+            lambda *gs: sum(w * g for w, g in zip(ws, gs)) / sw, *grads_list
+        )
+
+    p_g0 = jax.tree.map(np.array, state.params_g)
+    p_d0 = jax.tree.map(np.array, state.params_d)
+    equal = [1.0, 1.0]
+    params_g, params_d = state.params_g, state.params_d
+    opt_g, opt_d = state.opt_g, state.opt_d
+    key = jax.random.key(7)
+    d_losses, d_losses_equal = [], []
+    for i in range(cfg.N_CRITIC):
+        k = jax.random.fold_in(key, i)
+        vg = [d_grad_one(params_g, params_d, p, k) for p in packs]
+        grads = combine([g for _, g in vg], weights)
+        vals = [float(v) for v, _ in vg]
+        d_losses.append(sum(w * v for w, v in zip(weights, vals)) / sum(weights))
+        d_losses_equal.append(sum(vals) / len(vals))
+        updates, opt_d = tx_d.update(grads, opt_d, params_d)
+        params_d = optax.apply_updates(params_d, updates)
+    vg = [g_grad_one(params_g, params_d, p, key) for p in packs]
+    g_loss_want = sum(w * float(v) for w, (v, _) in zip(weights, vg)) / sum(weights)
+    grads = combine([g for _, g in vg], weights)
+    updates, opt_g = tx_g.update(grads, opt_g, params_g)
+    params_g = optax.apply_updates(params_g, updates)
+
+    s2, m2 = multi(state, stacked, jax.random.key(7))
+
+    # Tolerances are 5e-3, NOT 1e-4: the ST-Gumbel argmax makes the step
+    # discontinuous in float rounding — separately compiled programs produce
+    # logits differing at ~1e-6, which flips the hard label of near-tie cells
+    # and shifts the critic means by O(1e-3).  The semantics under test —
+    # node-COUNT weighting vs the r2 bug (binary/equal pack weights) — differ
+    # by ~3e-2, so the assertions still discriminate with ~6x margin; the
+    # explicit not-equal-weighted check keeps it honest.
+    assert np.isclose(float(m2["d_loss"]), np.mean(d_losses), rtol=5e-3)
+    assert not np.isclose(float(m2["d_loss"]), np.mean(d_losses_equal), rtol=5e-3)
+    assert np.isclose(float(m2["g_loss"]), g_loss_want, rtol=5e-3, atol=5e-3)
+
+    # updates as vectors: direction + magnitude (see test_sp.py rationale)
+    def assert_updates_match(p0, pa, pb, what):
+        diff2 = na2 = nb2 = dot = 0.0
+        for a0, a1, a2 in zip(jax.tree.leaves(p0), jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            u1 = (np.array(a1) - a0).ravel()
+            u2 = (np.array(a2) - a0).ravel()
+            diff2 += float(np.sum((u1 - u2) ** 2))
+            na2 += float(np.sum(u1 * u1))
+            nb2 += float(np.sum(u2 * u2))
+            dot += float(np.sum(u1 * u2))
+        rel = diff2**0.5 / max(na2**0.5, 1e-12)
+        cos = dot / max(na2**0.5 * nb2**0.5, 1e-12)
+        assert rel < 3e-2 and cos > 0.999, (what, rel, cos)
+
+    assert_updates_match(p_g0, params_g, s2.params_g, "params_g")
+    assert_updates_match(p_d0, params_d, s2.params_d, "params_d")
+
+
 def test_parallel_eval_equivalence(synthetic_samples, small_cfg):
     """Sharded eval over 4 devices == sequential per-pack eval (incl. a null
     fill pack), scores aggregated from psum-ed confusion matrices."""

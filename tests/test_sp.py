@@ -96,6 +96,99 @@ def test_sp_generator_forward_matches_unsharded(synthetic_samples, small_cfg, sp
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
 
 
+def test_sp_train_step_matches_unsharded(
+    synthetic_samples, small_cfg, sp_mesh, highest_precision
+):
+    """The FULL WGAN-GP train step under floor sharding (GSPMD) == the
+    unsharded jitted step: same losses, same updated parameters.  Closes
+    SURVEY.md §2.3(b) beyond the forward (VERDICT r2 #7) — the critic loop,
+    GP double-backward through the halo stencils, and both optimizer updates
+    all run partitioned."""
+    from building_gan_tpu.models import GridVoxelGNNDiscriminator
+    from building_gan_tpu.train.state import create_train_state
+    from building_gan_tpu.train.step import make_train_step
+
+    cfg = tiny_cfg(
+        small_cfg,
+        GRID_SHAPE=(8, 8, 8),
+        GRID_BATCH=2,
+        GRID_LOCAL_NODES=64,
+        PACK_GRAPHS=2,
+        COMPUTE_DTYPE="float32",  # strict cross-program parity
+        N_CRITIC=2,
+    )
+    samples = [s for s in synthetic_samples if int(s[1].location[:, 0].max()) < 8][:2]
+    gb = gridlib.pack_grid(samples, cfg)
+
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    state, _, _ = create_train_state(cfg, gen, disc, gb, jax.random.key(0), 10)
+    # SGD for the cross-program comparison: Adam normalizes each update to
+    # ~±lr regardless of gradient magnitude, so float-noise sign flips in
+    # near-zero gradient components (different XLA partitionings round
+    # differently) would read as full-size param mismatches.  SGD keeps the
+    # param delta proportional to the gradient, which is what this test is
+    # actually asserting equivalence of.
+    import optax
+
+    tx_g = optax.sgd(1e-2)
+    tx_d = optax.sgd(1e-2)
+    state = state.replace(opt_g=tx_g.init(state.params_g), opt_d=tx_d.init(state.params_d))
+
+    p_g0 = jax.tree.map(np.array, state.params_g)
+    p_d0 = jax.tree.map(np.array, state.params_d)
+
+    single = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d))
+    s1, m1 = single(state, gb, jax.random.key(7))
+
+    sp_step = sp.make_sp_train_step(cfg, gen, disc, tx_g, tx_d, sp_mesh)
+
+    # the partitioned step must really be sharded: collectives in the HLO.
+    # Lower BEFORE executing sp_step — its jit donates the state buffers
+    # (device_put aliases the device-0 buffer, so the donation consumes the
+    # caller's state too; standard train-loop donation semantics).
+    hlo = sp_step.jitted.lower(
+        jax.device_put(state, jax.sharding.NamedSharding(sp_mesh, P())),
+        sp.shard_grid_batch(gb, sp_mesh),
+        jax.random.key(7),
+    ).compile().as_text()
+    assert any(c in hlo for c in ("collective-permute", "all-reduce", "all-gather"))
+
+    s2, m2 = sp_step(state, gb, jax.random.key(7))
+
+    # rtol 5e-3: the ST-Gumbel argmax is discontinuous in float rounding, so
+    # the partitioned program can flip near-tie hard labels vs the unsharded
+    # compile, shifting critic means by O(1e-3) (see test_parallel.py).
+    for k in ("g_loss", "d_loss", "f1", "accuracy"):
+        assert np.isclose(float(m1[k]), float(m2[k]), rtol=5e-3, atol=5e-3), k
+
+    # Parameter UPDATES are compared as vectors (relative Frobenius error +
+    # cosine), not element-wise: the WGAN-GP double-backward on an untrained
+    # critic produces gradients spanning ~5 orders of magnitude, and the
+    # partitioned program's cross-shard reductions reassociate f32 sums, so
+    # individual near-zero components carry O(1e-2) relative noise.  A real
+    # sharding bug (dropped halo plane, double-counted shard, wrong grad
+    # reduction) shifts the update NORM/direction at O(1), which this
+    # assertion catches; reassociation noise does not.
+    def assert_updates_match(p0, pa, pb, what):
+        diff2 = na2 = nb2 = dot = 0.0
+        for a0, a1, a2 in zip(
+            jax.tree.leaves(p0), jax.tree.leaves(pa), jax.tree.leaves(pb)
+        ):
+            u1 = (np.array(a1) - a0).ravel()
+            u2 = (np.array(a2) - a0).ravel()
+            diff2 += float(np.sum((u1 - u2) ** 2))
+            na2 += float(np.sum(u1 * u1))
+            nb2 += float(np.sum(u2 * u2))
+            dot += float(np.sum(u1 * u2))
+        rel = diff2**0.5 / max(na2**0.5, 1e-12)
+        cos = dot / max(na2**0.5 * nb2**0.5, 1e-12)
+        assert rel < 3e-2 and cos > 0.999, (what, rel, cos)
+
+    assert_updates_match(p_g0, s1.params_g, s2.params_g, "params_g")
+    assert_updates_match(p_d0, s1.params_d, s2.params_d, "params_d")
+
+
 def test_sp_generator_compiles_with_collectives(synthetic_samples, small_cfg, sp_mesh):
     """The partitioned module must contain cross-shard collectives — proof the
     floor sharding survives into the compiled program (no silent replication)."""

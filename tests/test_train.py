@@ -263,9 +263,12 @@ def test_sanity_overfit_adversarial_only(synthetic_samples, small_cfg):
     critic + the ratio/FAR auxiliary losses (reference trainer.py:484-495,
     config.py LAMBDA_LABEL=0).  Measured trajectories on this config: F1
     sits at chance (~0.2) for 3-4k steps, then climbs through 0.3-0.45
-    around 5-6k and on toward 0.6-0.8 by 8-10k.  The climb onset varies
-    with the backend's reduction order (1 vs 8 virtual devices differ by
-    ~2k steps), so the horizon is 8k with a conservative bar.
+    around 5-6k and on toward 0.6-0.8 by 8-10k.  The climb onset is
+    CHAOTIC: any rounding-level change anywhere in the stack (XLA fusion
+    choices, reduction order, backend thread split) shifts it by thousands
+    of steps (an 8k horizon measured best-F1 0.287 on one compile and 0.45+
+    on another of the same program).  The horizon is therefore 14k; the
+    loop breaks at the bar, so healthy runs stop around 5-6k.
     """
     cfg = tiny_cfg(
         small_cfg, PACK_GRAPHS=1, LAMBDA_LABEL=0.0,
@@ -276,7 +279,7 @@ def test_sanity_overfit_adversarial_only(synthetic_samples, small_cfg):
     packed = batching.pack_one([sample], cfg)
     gen = VoxelGNNGenerator(configuration=cfg)
     disc = VoxelGNNDiscriminator(configuration=cfg)
-    n_steps, chunk = 8000, 200
+    n_steps, chunk = 14000, 200
     state, tx_g, tx_d = create_train_state(cfg, gen, disc, packed, jax.random.key(0), n_steps)
     step = make_train_step(cfg, gen, disc, tx_g, tx_d)
 
