@@ -18,14 +18,27 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/building_gan_tpu/jax_cache")
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str:
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache; returns the cache dir.
 
     Order of precedence: explicit arg > $BGT_JAX_CACHE > default under
     ~/.cache.  Every compile is cached (min_compile_time 0) because even the
     small eval/viz programs pay multi-second tunnel round-trips.
+
+    CPU backends are EXCLUDED (returns None) unless $BGT_JAX_CACHE_CPU=1:
+    local CPU compiles are cheap, and XLA:CPU's AOT cache loader has been
+    observed (this machine) loading entries whose recorded target features
+    (`+prefer-no-scatter`, …) mismatch the host's, warning about possible
+    SIGILL — not worth the risk for the driver's CPU-mesh validation runs.
     """
     import jax
+
+    if os.environ.get("BGT_JAX_CACHE_CPU", "0") != "1":
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:
+            pass  # backend probe failed: fall through, cache is still useful
 
     path = cache_dir or os.environ.get("BGT_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
