@@ -168,11 +168,17 @@ class Configuration:
     GRID_SHAPE: Tuple[int, int, int] = (11, 12, 12)
     GRID_BATCH: int = 64
     GRID_LOCAL_NODES: int = 64
-    # Max buildings 3D-bin-packed into one grid slot (1-cell gaps, per-cell
-    # graph-id planes — data/grid.py pack_grid_multi).  1 = one building per
-    # slot (pack_grid).  Raising this cuts padding waste: real buildings fill
+    # Max buildings 3D-bin-packed into one grid slot (per-cell graph-id
+    # planes — data/grid.py pack_grid_multi).  1 = one building per slot
+    # (pack_grid).  Raising this cuts padding waste: real buildings fill
     # ~25% of an (11,12,12) slot alone.
     GRID_SLOT_GRAPHS: int = 1
+    # Multipack placement granularity: "cell" places buildings gap-free on
+    # their actual cells (fill ~79% on reference-statistics batches; safe
+    # because stencils are gid-aware — ops/stencil.py), "bbox_gap" reserves
+    # each bounding box plus a 1-cell margin (fill ~63%; never face-adjacent,
+    # stencil isolation holds even without gid planes).
+    GRID_PACK_MODE: str = "cell"
     # Optional bucketing: route each building to the smallest fitting grid
     # shape to cut padding waste (one compiled program per bucket).  None =
     # single GRID_SHAPE bucket.  Example: ((6, 6, 6), (8, 8, 8), (11, 12, 12)).

@@ -40,8 +40,9 @@ class GridBatch:
     - one building per slot (``pack_grid``): ``gid``/``local_gid`` are None
       and the graph-level fields (``graph_mask``/``far``/``site_area``) are
       (B,) — the slot axis IS the graph axis;
-    - multiple buildings per slot (``pack_grid_multi`` — 3D bin packing with
-      1-cell gaps): ``gid`` is a per-cell local graph index in [0, K),
+    - multiple buildings per slot (``pack_grid_multi`` — 3D bin packing,
+      gap-free "cell" mode or 1-cell-gap "bbox_gap" mode per
+      ``GRID_PACK_MODE``): ``gid`` is a per-cell local graph index in [0, K),
       ``local_gid`` tags each local program node with its building, and the
       graph-level fields are (B, K).  Per-graph reductions (GraphNorm,
       type-matched pooling, FAR, per-graph F1) key on (slot, gid) via one-hot
@@ -157,19 +158,47 @@ def pack_grid(
 class _Slot:
     """One grid slot being filled by the 3D first-fit packer.
 
-    Occupancy is tracked on a grid padded by 1 on the positive faces: each
-    placement reserves its bounding box plus a 1-cell margin on the +f/+y/+x
-    sides, and a margin that sticks past the real boundary lands in the pad
-    (the boundary itself acts as the gap).  Reserving the positive margin on
-    every box guarantees >=1 empty cell between any two buildings, so the
-    6-point stencil never passes messages across buildings.
+    Two packing modes (``Configuration.GRID_PACK_MODE``):
+
+    - ``"bbox_gap"``: occupancy is tracked on a grid padded by 1 on the
+      positive faces; each placement reserves its bounding box plus a 1-cell
+      margin on the +f/+y/+x sides, guaranteeing >=1 empty cell between any
+      two buildings — required when stencils derive neighbor validity from
+      the mask alone.
+    - ``"cell"``: occupancy is the buildings' ACTUAL cells, no margin —
+      buildings may touch (and interpenetrate each other's bounding boxes).
+      Safe because the stencils/kernels are gid-aware (a face between two
+      different gids is not an edge, `ops/stencil.py`).  On the reference-
+      statistics workload this lifts fill 63% -> ~79%, a direct HBM-bytes
+      win for the bandwidth-bound train step (docs/PERF.md §4 lever 1).
     """
 
-    def __init__(self, shape: Tuple[int, int, int]):
+    def __init__(self, shape: Tuple[int, int, int], mode: str = "bbox_gap"):
         self.shape = shape
-        self.occ = np.zeros((shape[0] + 1, shape[1] + 1, shape[2] + 1), bool)
+        self.mode = mode
+        if mode == "cell":
+            self.occ = np.zeros(shape, bool)
+        else:
+            self.occ = np.zeros((shape[0] + 1, shape[1] + 1, shape[2] + 1), bool)
         self.placed: list = []  # (sample index, offset (f0,y0,x0))
         self.local_used = 0  # program-graph nodes consumed in this slot
+
+    def try_place_cells(self, pat: np.ndarray) -> Tuple[int, int, int] | None:
+        """First anchor where the building's actual cells hit no occupied cell."""
+        F, Y, X = self.shape
+        pf, py, px = pat.shape
+        if pf > F or py > Y or px > X:
+            return None
+        win = np.lib.stride_tricks.sliding_window_view(self.occ, pat.shape)
+        conflicts = np.einsum(
+            "abcijk,ijk->abc", win.astype(np.uint8), pat.astype(np.uint8), optimize=True
+        )
+        anchors = np.argwhere(conflicts == 0)
+        if anchors.size == 0:
+            return None
+        f0, y0, x0 = (int(v) for v in anchors[0])
+        self.occ[f0 : f0 + pf, y0 : y0 + py, x0 : x0 + px] |= pat
+        return f0, y0, x0
 
     def try_place(self, ext: Tuple[int, int, int]) -> Tuple[int, int, int] | None:
         """First anchor (lexicographic f,y,x) whose ext+1 window is empty."""
@@ -202,20 +231,29 @@ class _Slot:
         return f0, y0, x0
 
 
+def _cell_pattern(voxel: VoxelGraph, ext: Tuple[int, int, int]) -> np.ndarray:
+    pat = np.zeros(ext, bool)
+    loc = voxel.location
+    pat[loc[:, 0], loc[:, 1], loc[:, 2]] = True
+    return pat
+
+
 def _first_fit_decreasing(
     samples: Sequence[Tuple[LocalGraph, VoxelGraph]],
     shape: Tuple[int, int, int],
     K: int,
     max_slots: int | None = None,
     local_budget: int | None = None,
+    mode: str = "bbox_gap",
 ) -> list | None:
     """First-fit-decreasing 3D packing; opens slots as needed.
 
     ``local_budget`` caps the total program-graph nodes per slot (the packed
     ``GRID_LOCAL_NODES`` width) — a slot that cannot absorb a building's
     local nodes is skipped, so any K/budget combination packs (slots just
-    hold fewer buildings).  Returns the list of filled ``_Slot``s, or None if
-    ``max_slots`` is given and exceeded.
+    hold fewer buildings).  ``mode`` selects gap ("bbox_gap") vs gap-free
+    ("cell") placement — see ``_Slot``.  Returns the list of filled
+    ``_Slot``s, or None if ``max_slots`` is given and exceeded.
     """
     order = sorted(
         range(len(samples)),
@@ -224,6 +262,7 @@ def _first_fit_decreasing(
     slots: list[_Slot] = []
     for i in order:
         ext = tuple(int(e) for e in samples[i][1].location.max(axis=0) + 1)
+        pat = _cell_pattern(samples[i][1], ext) if mode == "cell" else None
         nl = samples[i][0].x.shape[0]
         if local_budget is not None and nl > local_budget:
             raise ValueError(
@@ -236,7 +275,7 @@ def _first_fit_decreasing(
                 continue
             if local_budget is not None and slot.local_used + nl > local_budget:
                 continue
-            off = slot.try_place(ext)
+            off = slot.try_place_cells(pat) if mode == "cell" else slot.try_place(ext)
             if off is not None:
                 slot.placed.append((i, off))
                 slot.local_used += nl
@@ -245,8 +284,8 @@ def _first_fit_decreasing(
         if not placed:
             if max_slots is not None and len(slots) >= max_slots:
                 return None
-            slot = _Slot(shape)
-            off = slot.try_place(ext)
+            slot = _Slot(shape, mode=mode)
+            off = slot.try_place_cells(pat) if mode == "cell" else slot.try_place(ext)
             if off is None:
                 raise ValueError(f"building ext {ext} exceeds grid shape {shape}")
             slot.placed.append((i, off))
@@ -267,6 +306,7 @@ def plan_packing_slots(
     return _first_fit_decreasing(
         samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS,
         local_budget=cfg.GRID_LOCAL_NODES,
+        mode=getattr(cfg, "GRID_PACK_MODE", "bbox_gap"),
     )
 
 
@@ -286,10 +326,12 @@ def pack_grid_multi(
 ) -> GridBatch:
     """3D-bin-pack buildings into grid slots (multiple buildings per slot).
 
-    First-fit-decreasing by bounding-box volume over open slots; each
-    placement reserves its bbox + 1-cell positive margin so distinct
-    buildings are never face-adjacent.  Raises if the batch does not fit —
-    callers size ``GRID_BATCH``/``GRID_SLOT_GRAPHS`` from their data.
+    First-fit-decreasing by bounding-box volume over open slots.  Placement
+    granularity follows ``cfg.GRID_PACK_MODE``: ``"bbox_gap"`` reserves the
+    bbox + 1-cell positive margin (buildings never face-adjacent);
+    ``"cell"`` reserves only the actual cells, gap-free (gid-aware stencils
+    keep buildings isolated).  Raises if the batch does not fit — callers
+    size ``GRID_BATCH``/``GRID_SLOT_GRAPHS`` from their data.
 
     Features keep their original per-building values (locations/coordinates
     are building-local in the reference layout, `data.py:291-323`); only the
@@ -300,7 +342,10 @@ def pack_grid_multi(
     K = graphs_per_slot if graphs_per_slot is not None else cfg.GRID_SLOT_GRAPHS
     NL = cfg.GRID_LOCAL_NODES
 
-    slots = _first_fit_decreasing(samples, (F, Y, X), K, max_slots=B, local_budget=NL)
+    slots = _first_fit_decreasing(
+        samples, (F, Y, X), K, max_slots=B, local_budget=NL,
+        mode=getattr(cfg, "GRID_PACK_MODE", "bbox_gap"),
+    )
     if slots is None:
         raise ValueError(
             f"pack_grid_multi: {len(samples)} buildings do not fit "

@@ -66,7 +66,7 @@ def infer(
     encoded = hourglass_fwd(
         x, batch.mask, packed["Ws"], packed["atts"], packed["vecs"],
         hidden_dim=cfg.GENERATOR_HIDDEN_DIM, repeat=cfg.GENERATOR_ENCODER_REPEAT,
-        tile=tile, interpret=interpret,
+        tile=tile, interpret=interpret, gid=batch.gid,
     )
 
     final = jnp.concatenate([encoded, x, encoded_matched, batch.x, z], axis=-1)

@@ -116,7 +116,7 @@ class GridGATConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, grid_shape=None):
+    def __call__(self, x, mask, grid_shape=None, gid=None):
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         att_src = self.param("att_src", nn.initializers.glorot_uniform(), (self.features, 1))
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (self.features, 1))
@@ -130,10 +130,12 @@ class GridGATConv(nn.Module):
         )[..., 0]
         if x.ndim == 3:  # flattened-row layout
             out = stencil.stencil_gat_flat(
-                h, a_src, a_dst, mask, grid_shape, negative_slope=self.negative_slope
+                h, a_src, a_dst, mask, grid_shape, negative_slope=self.negative_slope, gid=gid
             )
         else:
-            out = stencil.stencil_gat(h, a_src, a_dst, mask, negative_slope=self.negative_slope)
+            out = stencil.stencil_gat(
+                h, a_src, a_dst, mask, negative_slope=self.negative_slope, gid=gid
+            )
         return out + bias.astype(out.dtype)
 
 
@@ -145,18 +147,18 @@ class GridGATv2Conv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, grid_shape=None):
+    def __call__(self, x, mask, grid_shape=None, gid=None):
         h_l = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(x)
         h_r = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_r")(x)
         att = self.param("att", nn.initializers.glorot_uniform(), (self.features, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if x.ndim == 3:
             out = stencil.stencil_gatv2_flat(
-                h_l, h_r, att[:, 0], mask, grid_shape, negative_slope=self.negative_slope
+                h_l, h_r, att[:, 0], mask, grid_shape, negative_slope=self.negative_slope, gid=gid
             )
         else:
             out = stencil.stencil_gatv2(
-                h_l, h_r, att[:, 0], mask, negative_slope=self.negative_slope
+                h_l, h_r, att[:, 0], mask, negative_slope=self.negative_slope, gid=gid
             )
         return out + bias.astype(out.dtype)
 
@@ -168,13 +170,13 @@ class GridGCNConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, grid_shape=None):
+    def __call__(self, x, mask, grid_shape=None, gid=None):
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if x.ndim == 3:
-            out = stencil.stencil_gcn_flat(h, mask, grid_shape)
+            out = stencil.stencil_gcn_flat(h, mask, grid_shape, gid=gid)
         else:
-            out = stencil.stencil_gcn(h, mask)
+            out = stencil.stencil_gcn(h, mask, gid=gid)
         return out + bias.astype(out.dtype)
 
 
@@ -185,12 +187,12 @@ class GridGraphConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, grid_shape=None):
+    def __call__(self, x, mask, grid_shape=None, gid=None):
         h_nbr = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_nbr")(x)
         if x.ndim == 3:
-            agg = stencil.stencil_sum_flat(h_nbr, mask, grid_shape)
+            agg = stencil.stencil_sum_flat(h_nbr, mask, grid_shape, gid=gid)
         else:
-            agg = stencil.stencil_sum(h_nbr, mask)
+            agg = stencil.stencil_sum(h_nbr, mask, gid=gid)
         h_self = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_self")(x)
         return h_self + agg
 
@@ -240,7 +242,7 @@ class GridHourglass(nn.Module):
 
         for i, ch in enumerate(channels):
             x = conv_cls(features=ch, dtype=self.dtype, name=f"conv_{i}")(
-                x, mask, grid_shape=grid_shape
+                x, mask, grid_shape=grid_shape, gid=gid
             )
             x = GridGraphNorm(
                 features=ch,

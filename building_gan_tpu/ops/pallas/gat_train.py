@@ -436,15 +436,18 @@ def make_fused_layer(
 
 
 def build_planes(mask: jnp.ndarray, gid, grid_shape) -> jnp.ndarray:
-    """(B, R, 8) plane block: 6 neighbor-valid, cell mask, gid (float)."""
+    """(B, R, 8) plane block: 6 neighbor-valid, cell mask, gid (float).
+
+    The neighbor-valid planes are gid-aware (a face across two different
+    buildings is not an edge), so gap-free cell packing is safe here too —
+    the kernels weight every neighbor contribution by these planes."""
     from ..stencil import _nbr_valid_flat
 
     b = mask.shape[0]
     maskf = mask.reshape(b, -1).astype(jnp.float32)
-    nbr = _nbr_valid_flat(maskf, tuple(grid_shape))  # (6, B, R)
-    gidp = (
-        jnp.zeros_like(maskf) if gid is None else gid.reshape(b, -1).astype(jnp.float32)
-    )
+    gidr = None if gid is None else gid.reshape(b, -1)
+    nbr = _nbr_valid_flat(maskf, tuple(grid_shape), gidr)  # (6, B, R)
+    gidp = jnp.zeros_like(maskf) if gidr is None else gidr.astype(jnp.float32)
     return jnp.concatenate(
         [jnp.moveaxis(nbr, 0, -1), maskf[..., None], gidp[..., None]], axis=-1
     )

@@ -181,13 +181,14 @@ def hourglass_fwd(
     negative_slope: float = 0.2,
     eps: float = 1e-5,
     interpret: bool = False,
+    gid: jnp.ndarray | None = None,  # (B, F, Y, X) building id (cell packing)
 ) -> jnp.ndarray:
     """Fused deterministic hourglass forward over a grid batch.
 
     Equivalent to ``GridHourglass(...)(x, mask, deterministic=True)`` for
     conv_type='GATCONV'.  Returns (B, F, Y, X, C_last).
     """
-    from ..stencil import DIRECTIONS, neighbor_stack
+    from ..stencil import DIRECTIONS, neighbor_mask
 
     b, f, y, xx, c0 = x.shape
     r = f * y * xx
@@ -202,7 +203,7 @@ def hourglass_fwd(
     off_by_axis = {1: y * xx, 2: xx, 3: 1}
     offsets = tuple(off_by_axis[axis] * sh for axis, sh in DIRECTIONS)
 
-    nbr_valid = neighbor_stack(mask)  # (6, B, F, Y, X)
+    nbr_valid = neighbor_mask(mask, gid)  # (6, B, F, Y, X), gid-aware
     planes = jnp.concatenate(
         [
             jnp.moveaxis(nbr_valid, 0, -1).reshape(b, r, 6),

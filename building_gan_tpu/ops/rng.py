@@ -17,11 +17,24 @@ import jax.numpy as jnp
 
 
 def normal_box_muller(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
-    """N(0,1) sample of ``shape`` via Box-Muller (exact, erf_inv-free)."""
+    """N(0,1) sample of ``shape`` via Box-Muller (exact, erf_inv-free).
+
+    Uses BOTH Box-Muller outputs (r·cos and r·sin from one uniform pair), so
+    each output element costs one uniform draw and half a log/sqrt — ~2x
+    fewer threefry bits and transcendentals than the one-branch form.  The
+    z draw is ~5% of the bench train step (docs/PERF.md §2), so this is a
+    direct step-time lever, not a micro-optimisation.
+    """
+    shape = tuple(shape)
+    n = 1
+    for s in shape:
+        n *= s
+    half = (n + 1) // 2
     k1, k2 = jax.random.split(key)
     # u1 in (0, 1]: 1 - uniform[0,1) keeps log() finite
-    u1 = 1.0 - jax.random.uniform(k1, shape, dtype=jnp.float32)
-    u2 = jax.random.uniform(k2, shape, dtype=jnp.float32)
+    u1 = 1.0 - jax.random.uniform(k1, (half,), dtype=jnp.float32)
+    u2 = jax.random.uniform(k2, (half,), dtype=jnp.float32)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    z = r * jnp.cos((2.0 * jnp.pi) * u2)
-    return z.astype(dtype)
+    theta = (2.0 * jnp.pi) * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)])[:n]
+    return z.reshape(shape).astype(dtype)

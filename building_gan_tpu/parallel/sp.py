@@ -79,7 +79,14 @@ def _crop_floor(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.slice_in_dim(x, 1, x.shape[1] - 1, axis=1)
 
 
-def stencil_gat_sp(h, a_src, a_dst, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS):
+def _halo_gid(gid, axis_name):
+    """Halo-pad the building-id plane (None passes through)."""
+    return None if gid is None else halo_pad_floor(gid, axis_name)
+
+
+def stencil_gat_sp(
+    h, a_src, a_dst, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS, gid=None
+):
     """`ops.stencil.stencil_gat` on a floor-sharded slab (inside shard_map)."""
     out = stencil.stencil_gat(
         halo_pad_floor(h, axis_name),
@@ -87,11 +94,12 @@ def stencil_gat_sp(h, a_src, a_dst, mask, negative_slope: float = 0.2, axis_name
         halo_pad_floor(a_dst, axis_name),
         halo_pad_floor(mask, axis_name),
         negative_slope=negative_slope,
+        gid=_halo_gid(gid, axis_name),
     )
     return _crop_floor(out)
 
 
-def stencil_gcn_sp(h, mask, axis_name: str = SP_AXIS):
+def stencil_gcn_sp(h, mask, axis_name: str = SP_AXIS, gid=None):
     """GCN is the one stencil with a TWO-hop dependency: a neighbor's
     contribution is scaled by ITS degree, and a ghost cell's degree needs the
     ghost's own neighborhood.  So: (1) degree from a mask halo (correct for
@@ -99,30 +107,42 @@ def stencil_gcn_sp(h, mask, axis_name: str = SP_AXIS):
     degree-scaled features and aggregate."""
     maskf = mask.astype(jnp.float32)
     padded_mask = halo_pad_floor(maskf, axis_name)
-    deg = _crop_floor(jnp.sum(stencil.neighbor_stack(padded_mask), axis=0)) + 1.0
+    padded_gid = _halo_gid(gid, axis_name)
+    nbr_valid = stencil.neighbor_mask(padded_mask, padded_gid)
+    deg = _crop_floor(jnp.sum(nbr_valid, axis=0)) + 1.0
     dinv = jax.lax.rsqrt(deg)
 
     scaled = h * (dinv * maskf)[..., None].astype(h.dtype)
     ps = halo_pad_floor(scaled, axis_name)
     agg = ps  # self loop
-    for axis, sh in stencil.DIRECTIONS:
-        agg = agg + stencil.shift(ps, axis, sh)
+    for d, (axis, sh) in enumerate(stencil.DIRECTIONS):
+        t = stencil.shift(ps, axis, sh)
+        if gid is not None:
+            t = t * nbr_valid[d][..., None].astype(h.dtype)
+        agg = agg + t
     out = _crop_floor(agg) * dinv[..., None].astype(h.dtype)
     return out * maskf[..., None].astype(h.dtype)
 
 
-def stencil_sum_sp(h, mask, axis_name: str = SP_AXIS):
-    out = stencil.stencil_sum(halo_pad_floor(h, axis_name), halo_pad_floor(mask, axis_name))
+def stencil_sum_sp(h, mask, axis_name: str = SP_AXIS, gid=None):
+    out = stencil.stencil_sum(
+        halo_pad_floor(h, axis_name),
+        halo_pad_floor(mask, axis_name),
+        gid=_halo_gid(gid, axis_name),
+    )
     return _crop_floor(out)
 
 
-def stencil_gatv2_sp(h_l, h_r, att, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS):
+def stencil_gatv2_sp(
+    h_l, h_r, att, mask, negative_slope: float = 0.2, axis_name: str = SP_AXIS, gid=None
+):
     out = stencil.stencil_gatv2(
         halo_pad_floor(h_l, axis_name),
         halo_pad_floor(h_r, axis_name),
         att,
         halo_pad_floor(mask, axis_name),
         negative_slope=negative_slope,
+        gid=_halo_gid(gid, axis_name),
     )
     return _crop_floor(out)
 

@@ -48,7 +48,10 @@ def _ref_stack(x, Ws, atts, vecs, mask, gid, K):
         h = x @ Ws[l]
         a_s = (h * atts[l, 0]).sum(-1).astype(jnp.float32)
         a_d = (h * atts[l, 1]).sum(-1).astype(jnp.float32)
-        conv = stencil.stencil_gat_flat(h, a_s, a_d, mask, GS) + vecs[l, 0]
+        conv = (
+            stencil.stencil_gat_flat(h, a_s, a_d, mask, GS, gid=gid if K > 1 else None)
+            + vecs[l, 0]
+        )
         z = GridGraphNorm(features=C).apply(
             {
                 "params": {

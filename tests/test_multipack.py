@@ -1,10 +1,13 @@
 """Multi-building-per-slot packing tests (data/grid.py pack_grid_multi).
 
-The 3D first-fit bin packer places several buildings into one grid slot with
-a guaranteed 1-cell gap, tagging cells with per-slot graph ids.  Everything
-per-graph (GraphNorm stats, type-matched pooling, FAR, per-graph F1) must be
-EXACTLY as if each building had its own slot — these tests pin that
-equivalence against the single-building packer.
+The 3D first-fit bin packer places several buildings into one grid slot —
+either with a guaranteed 1-cell gap ("bbox_gap" mode) or gap-free on their
+actual cells ("cell" mode, buildings may touch; gid-aware stencils keep them
+isolated) — tagging cells with per-slot graph ids.  Everything per-graph
+(GraphNorm stats, type-matched pooling, FAR, per-graph F1, and the stencil
+message passing itself) must be EXACTLY as if each building had its own slot
+— these tests pin that equivalence against the single-building packer, in
+BOTH modes.
 """
 
 import jax
@@ -33,30 +36,45 @@ def multi_cfg(small_cfg):
     )
 
 
-def test_pack_grid_multi_places_and_gaps(synthetic_samples, multi_cfg):
+@pytest.mark.parametrize("mode", ["bbox_gap", "cell"])
+def test_pack_grid_multi_places(synthetic_samples, multi_cfg, mode):
     samples = synthetic_samples[:4]
-    gb = gridlib.pack_grid_multi(samples, multi_cfg)
+    cfg = multi_cfg.replace(GRID_PACK_MODE=mode)
+    gb = gridlib.pack_grid_multi(samples, cfg)
     assert gb.graphs_per_slot == 4
     assert gb.mask.shape == (1, 11, 12, 12)
-    # every building fully placed exactly once
+    # every building fully placed exactly once (no overlap in either mode)
     total = sum(v.x.shape[0] for _, v in samples)
     assert int(gb.mask.sum()) == total
     assert float(gb.graph_mask.sum()) == len(samples)
 
-    # no two cells of DIFFERENT buildings are face-adjacent (1-cell gap)
-    mask = np.array(gb.mask[0]) > 0
-    gid = np.array(gb.gid[0])
-    gid_occ = np.where(mask, gid, -1)
-    for axis in range(3):
-        a = np.moveaxis(gid_occ, axis, 0)
-        left, right = a[:-1], a[1:]
-        both = (left >= 0) & (right >= 0)
-        assert np.all(left[both] == right[both]), f"axis {axis}: cross-building contact"
+    if mode == "bbox_gap":
+        # no two cells of DIFFERENT buildings are face-adjacent (1-cell gap)
+        mask = np.array(gb.mask[0]) > 0
+        gid = np.array(gb.gid[0])
+        gid_occ = np.where(mask, gid, -1)
+        for axis in range(3):
+            a = np.moveaxis(gid_occ, axis, 0)
+            left, right = a[:-1], a[1:]
+            both = (left >= 0) & (right >= 0)
+            assert np.all(left[both] == right[both]), f"axis {axis}: cross-building contact"
 
 
-def test_multi_vs_single_slot_generator_parity(synthetic_samples, multi_cfg):
-    """Same params: K buildings in ONE slot == each building in its own slot."""
-    cfg = multi_cfg
+def test_cell_mode_packs_tighter(synthetic_samples, multi_cfg):
+    """Gap-free cell packing never uses more slots than bbox_gap packing."""
+    cfg = multi_cfg.replace(GRID_SLOT_GRAPHS=8, GRID_LOCAL_NODES=512)
+    n_gap = len(gridlib.plan_packing(synthetic_samples, cfg.replace(GRID_PACK_MODE="bbox_gap")))
+    n_cell = len(gridlib.plan_packing(synthetic_samples, cfg.replace(GRID_PACK_MODE="cell")))
+    assert n_cell <= n_gap
+
+
+@pytest.mark.parametrize("mode", ["bbox_gap", "cell"])
+def test_multi_vs_single_slot_generator_parity(synthetic_samples, multi_cfg, mode):
+    """Same params: K buildings in ONE slot == each building in its own slot.
+
+    In "cell" mode buildings may be FACE-ADJACENT in the packed slot; parity
+    then proves the gid-aware stencils pass no messages across buildings."""
+    cfg = multi_cfg.replace(GRID_PACK_MODE=mode)
     samples = synthetic_samples[:4]
     gb_multi = gridlib.pack_grid_multi(samples, cfg)
     cfg_single = cfg.replace(GRID_SLOT_GRAPHS=1, GRID_BATCH=4)
@@ -73,7 +91,8 @@ def test_multi_vs_single_slot_generator_parity(synthetic_samples, multi_cfg):
     # compare per-building via original voxel locations
     placed = {}  # sample index -> offset, from the packer's plan
     slots = gridlib._first_fit_decreasing(
-        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS, local_budget=cfg.GRID_LOCAL_NODES
+        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS,
+        local_budget=cfg.GRID_LOCAL_NODES, mode=cfg.GRID_PACK_MODE,
     )
     for slot in slots:
         for i, off in slot.placed:
@@ -87,8 +106,9 @@ def test_multi_vs_single_slot_generator_parity(synthetic_samples, multi_cfg):
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
-def test_multi_vs_single_slot_discriminator_parity(synthetic_samples, multi_cfg):
-    cfg = multi_cfg
+@pytest.mark.parametrize("mode", ["bbox_gap", "cell"])
+def test_multi_vs_single_slot_discriminator_parity(synthetic_samples, multi_cfg, mode):
+    cfg = multi_cfg.replace(GRID_PACK_MODE=mode)
     samples = synthetic_samples[:4]
     gb_multi = gridlib.pack_grid_multi(samples, cfg)
     gb_single = gridlib.pack_grid(samples, cfg.replace(GRID_SLOT_GRAPHS=1, GRID_BATCH=4))
@@ -102,7 +122,8 @@ def test_multi_vs_single_slot_discriminator_parity(synthetic_samples, multi_cfg)
     ss = disc.apply(variables, gb_single, lab_s, deterministic=True)
 
     slots = gridlib._first_fit_decreasing(
-        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS, local_budget=cfg.GRID_LOCAL_NODES
+        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS,
+        local_budget=cfg.GRID_LOCAL_NODES, mode=cfg.GRID_PACK_MODE,
     )
     placed = {i: off for slot in slots for i, off in slot.placed}
     for b, (local, voxel) in enumerate(samples):
@@ -124,7 +145,8 @@ def test_multi_metrics_parity(synthetic_samples, multi_cfg):
     pred_s = np.array(rng.integers(0, 7, gb_s.type.shape), dtype=np.int32)
     # mirror predictions into the multi layout
     slots = gridlib._first_fit_decreasing(
-        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS, local_budget=cfg.GRID_LOCAL_NODES
+        samples, cfg.GRID_SHAPE, cfg.GRID_SLOT_GRAPHS,
+        local_budget=cfg.GRID_LOCAL_NODES, mode=cfg.GRID_PACK_MODE,
     )
     placed = {i: off for slot in slots for i, off in slot.placed}
     pred_m = np.zeros(gb_m.type.shape, np.int32)

@@ -206,3 +206,109 @@ def test_fast_dropout_semantics():
     np.testing.assert_array_equal(np.array(ident), np.array(x))
     ident0 = FastDropout(rate=0.0).apply({}, x, False)
     np.testing.assert_array_equal(np.array(ident0), np.array(x))
+
+
+# ---------------------------------------------------------------------------
+# gid-aware stencils: face-adjacent cells of DIFFERENT buildings exchange no
+# messages (the invariant that makes gap-free "cell" packing safe)
+# ---------------------------------------------------------------------------
+
+
+def _two_touching_buildings():
+    """One slot with two 2x2x2 solid buildings sharing a full face along x,
+    plus the same two buildings in separate slots (the isolation oracle)."""
+    F, Y, X = 3, 4, 6
+    rng = np.random.default_rng(7)
+    mask = np.zeros((1, F, Y, X), np.float32)
+    gid = np.zeros((1, F, Y, X), np.int32)
+    mask[0, 0:2, 0:2, 0:2] = 1.0  # building 0: x in [0,2)
+    mask[0, 0:2, 0:2, 2:4] = 1.0  # building 1: x in [2,4) — touching faces!
+    gid[0, 0:2, 0:2, 2:4] = 1
+    h = rng.standard_normal((1, F, Y, X, 8)).astype(np.float32)
+
+    # separate slots: same cells at the same coordinates, one building each
+    mask_s = np.zeros((2, F, Y, X), np.float32)
+    h_s = np.zeros((2, F, Y, X, 8), np.float32)
+    mask_s[0, 0:2, 0:2, 0:2] = 1.0
+    h_s[0, :, :, 0:2] = h[0, :, :, 0:2]
+    mask_s[1, 0:2, 0:2, 2:4] = 1.0
+    h_s[1, :, :, 2:4] = h[0, :, :, 2:4]
+    return h, mask, gid, h_s, mask_s
+
+
+@pytest.mark.parametrize("flat", [False, True])
+@pytest.mark.parametrize("kind", ["gat", "gatv2", "gcn", "sum"])
+def test_stencil_gid_isolation(kind, flat):
+    from building_gan_tpu.ops import stencil as st
+
+    h, mask, gid, h_s, mask_s = _two_touching_buildings()
+    grid_shape = mask.shape[1:4]
+    rng = np.random.default_rng(3)
+    a1 = rng.standard_normal(mask.shape).astype(np.float32)
+    a2 = rng.standard_normal(mask.shape).astype(np.float32)
+    att = rng.standard_normal((8,)).astype(np.float32)
+
+    def bcast(a, msk):
+        """Mirror the (1,...) joint-plane scalars into the 2-slot layout."""
+        out = np.zeros(msk.shape, np.float32)
+        out[0] = a[0] * (msk[0] > 0)
+        out[1] = a[0] * (msk[1] > 0)
+        return out
+
+    def run(hh, mm, gg, aa1, aa2, shape):
+        if flat:
+            B = mm.shape[0]
+            hh = hh.reshape(B, -1, hh.shape[-1])
+            mm2 = mm.reshape(B, -1)
+            gg2 = None if gg is None else gg.reshape(B, -1)
+            if kind == "gat":
+                o = st.stencil_gat_flat(hh, aa1.reshape(B, -1), aa2.reshape(B, -1), mm2, shape, gid=gg2)
+            elif kind == "gatv2":
+                o = st.stencil_gatv2_flat(hh, hh * 0.5, att, mm2, shape, gid=gg2)
+            elif kind == "gcn":
+                o = st.stencil_gcn_flat(hh, mm2, shape, gid=gg2)
+            else:
+                o = st.stencil_sum_flat(hh, mm2, shape, gid=gg2)
+            return np.asarray(o).reshape(mm.shape + (hh.shape[-1],))
+        if kind == "gat":
+            return np.asarray(st.stencil_gat(hh, aa1, aa2, mm, gid=gg))
+        if kind == "gatv2":
+            return np.asarray(st.stencil_gatv2(hh, hh * 0.5, att, mm, gid=gg))
+        if kind == "gcn":
+            return np.asarray(st.stencil_gcn(hh, mm, gid=gg))
+        return np.asarray(st.stencil_sum(hh, mm, gid=gg))
+
+    got = run(jnp.array(h), jnp.array(mask), jnp.array(gid), jnp.array(a1), jnp.array(a2), grid_shape)
+    want = run(
+        jnp.array(h_s), jnp.array(mask_s), None,
+        jnp.array(bcast(a1, mask_s)), jnp.array(bcast(a2, mask_s)), grid_shape,
+    )
+    # building 0 cells must match slot-0 output; building 1 cells slot-1
+    m0 = (mask[0] > 0) & (gid[0] == 0)
+    m1 = (mask[0] > 0) & (gid[0] == 1)
+    np.testing.assert_allclose(got[0][m0], want[0][m0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[0][m1], want[1][m1], rtol=1e-5, atol=1e-5)
+
+    # WITHOUT gid the touching faces DO leak (sanity that the fixture bites)
+    got_nogid = run(jnp.array(h), jnp.array(mask), None, jnp.array(a1), jnp.array(a2), grid_shape)
+    assert not np.allclose(got_nogid[0][m0], want[0][m0], rtol=1e-5, atol=1e-5)
+
+
+def test_normal_box_muller_moments():
+    """Paired Box-Muller (both cos and sin branches) is exact N(0,1)."""
+    import jax
+
+    from building_gan_tpu.ops.rng import normal_box_muller
+
+    z = np.asarray(normal_box_muller(jax.random.PRNGKey(0), (512, 1024)))
+    assert abs(z.mean()) < 5e-3
+    assert abs(z.std() - 1.0) < 5e-3
+    assert abs((z**3).mean()) < 2e-2  # skew
+    assert abs((z**4).mean() - 3.0) < 5e-2  # kurtosis
+    # cos/sin halves are independent: correlation between the paired outputs
+    flat = z.reshape(-1)
+    a, b = flat[: flat.size // 2], flat[flat.size // 2 :]
+    assert abs(np.corrcoef(a, b)[0, 1]) < 5e-3
+    # odd sizes pad-and-trim correctly
+    z3 = normal_box_muller(jax.random.PRNGKey(1), (7, 13, 3))
+    assert z3.shape == (7, 13, 3)
