@@ -51,7 +51,8 @@ class InferenceServer:
             "serve with the per-graph defaults"
         )
         self.configuration = cfg
-        self.params_g = params_g
+        self.params_g = jax.device_put(params_g)
+        self.params_version = 0
         self.max_batch = max_batch
         self._batcher = batcherlib.make_batcher(max_batch, int(max_delay_ms * 1000))
         self._base_key = jax.random.key(seed)
@@ -105,6 +106,22 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=30)
         self._batcher.close()  # frees the native handle (batcher.cc sb_destroy)
+
+    # ------------------------------------------------------------------
+    def swap_params(self, params_g) -> int:
+        """Checkpoint hot-swap: atomically replace the served generator weights.
+
+        In-flight micro-batches finish on the weights they started with; the
+        next batch the executor forms uses the new ones.  No recompile — the
+        jitted program is parameterised on the weights, so a swap is one
+        device_put + an attribute store (atomic under the GIL).  Returns the
+        new version number.
+        """
+        new = jax.device_put(params_g)
+        with self._lock:
+            self.params_g = new
+            self.params_version += 1
+            return self.params_version
 
     # ------------------------------------------------------------------
     def _run(self) -> None:

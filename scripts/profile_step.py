@@ -19,15 +19,24 @@ from building_gan_tpu.train.state import create_train_state
 from building_gan_tpu.train.step import make_train_step
 
 N = int(os.environ.get("PROF_N", "128"))
+K = int(os.environ.get("PROF_K", "1"))  # buildings per slot (bench uses 6)
 samples = []
 for i in range(N):
     g, l, v = synthetic.generate_building_real_scale(i)
     samples.append(preprocess.process_building(g, l, v, Configuration(), f"{i:06d}"))
+max_local = max(s[0].x.shape[0] for s in samples)
 cfg = Configuration(
-    GRID_SHAPE=(11,12,12), GRID_SLOT_GRAPHS=1, GRID_LOCAL_NODES=64,
+    GRID_SHAPE=(11,12,12), GRID_SLOT_GRAPHS=K,
+    GRID_LOCAL_NODES=64 if K == 1 else int(np.ceil(K * max_local / 64.0)) * 64,
     ENCODER_DROPOUT_RATE=float(os.environ.get("PROF_DROPOUT", "0.2")),
 )
-batch = gridlib.pack_grid(samples, cfg.replace(GRID_BATCH=N))
+if K == 1:
+    batch = gridlib.pack_grid(samples, cfg.replace(GRID_BATCH=N))
+else:  # bench-identical multipack workload
+    slots = gridlib.plan_packing_slots(samples, cfg)
+    batch = gridlib.pack_grid_multi_from_slots(samples, slots, cfg, batch_slots=len(slots))
+    print(f"multipack: {N} buildings -> {len(slots)} slots, "
+          f"fill {100.0*np.asarray(batch.mask).sum()/np.prod(batch.mask.shape):.1f}%", flush=True)
 batch = jax.device_put(batch)
 
 gen = GridVoxelGNNGenerator(configuration=cfg)
