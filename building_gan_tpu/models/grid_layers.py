@@ -108,6 +108,18 @@ class GridGraphNorm(nn.Module):
         return (x * scale + shift) * m.astype(x.dtype)
 
 
+class _LinKernel(nn.Module):
+    """Bare Dense(use_bias=False) kernel with the same param path/init as
+    ``nn.Dense(name="lin")`` — exposed so callers can fold extra columns into
+    one GEMM while keeping checkpoints/interop byte-compatible."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features))
+
+
 class GridGATConv(nn.Module):
     """GAT over the 6-neighborhood; params match `layers.GATConv`."""
 
@@ -117,17 +129,23 @@ class GridGATConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, grid_shape=None, gid=None):
-        h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
-        att_src = self.param("att_src", nn.initializers.glorot_uniform(), (self.features, 1))
-        att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (self.features, 1))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        C = self.features
+        W = _LinKernel(features=C, name="lin")(x.shape[-1])
+        att_src = self.param("att_src", nn.initializers.glorot_uniform(), (C, 1))
+        att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (C, 1))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
 
-        a_src = jnp.einsum(
-            "...c,cd->...d", h, att_src.astype(h.dtype), preferred_element_type=jnp.float32
-        )[..., 0]
-        a_dst = jnp.einsum(
-            "...c,cd->...d", h, att_dst.astype(h.dtype), preferred_element_type=jnp.float32
-        )[..., 0]
+        # ONE MXU GEMM yields h AND both attention scores: a_src = (x@W)@att
+        # = x@(W@att), so append W@att_src / W@att_dst as two extra output
+        # columns.  The einsum alternative (h·att, output dim 1) lowers to a
+        # VPU multiply-reduce — measured at several % of the train step
+        # (docs/PERF.md §6); two extra GEMM columns are ~2% of its FLOPs and
+        # ride the otherwise-idle MXU.
+        wa = jnp.concatenate([W, W @ att_src, W @ att_dst], axis=1).astype(self.dtype)
+        ha = x.astype(self.dtype) @ wa
+        h = ha[..., :C]
+        a_src = ha[..., C].astype(jnp.float32)
+        a_dst = ha[..., C + 1].astype(jnp.float32)
         if x.ndim == 3:  # flattened-row layout
             out = stencil.stencil_gat_flat(
                 h, a_src, a_dst, mask, grid_shape, negative_slope=self.negative_slope, gid=gid
