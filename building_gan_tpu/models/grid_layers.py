@@ -78,17 +78,21 @@ class GridGraphNorm(nn.Module):
             inv = weight * jax.lax.rsqrt(var + self.eps)  # (B,K,C)
             scale = inv.astype(x.dtype)
             shift = (bias - s * inv).astype(x.dtype)
-            # Apply in ONE fused elementwise pass.  The former pair of
-            # "brk,bkc->brc" einsums materialized two full (B,R,C) HBM temps
-            # per layer — measured as the reason K=6 multipack LOST throughput
-            # despite doubling fill (docs/PERF.md §4).  A broadcast-multiply
-            # + reduce over the tiny K axis fuses with the x*scale+shift
-            # consumer into a single loop fusion: reads xr + oh, writes y.
-            ohk = oh[..., None]  # (B,R,K,1)
-            scale_cell = jnp.sum(ohk * scale[:, None], axis=2)  # (B,R,C) fused
-            shift_cell = jnp.sum(ohk * shift[:, None], axis=2)
-            # oh is already masked, so shift_cell vanishes on invalid cells
-            return (xr * scale_cell + shift_cell).reshape(orig)
+            # Apply via ONE joint dot on the MXU: (B,R,K) one-hot against the
+            # concatenated (B,K,2C) scale/shift table.  History of this apply
+            # (docs/PERF.md): two separate einsums lost to a fused broadcast-
+            # multiply + K-reduce while the step was HBM-bound (the einsums
+            # materialized two (B,R,C) temps per layer); after gap-free cell
+            # packing the step became VPU-bound and the fused reduce showed up
+            # as kLoop fusions at bw~0 — ~12% of the step across norm layers
+            # x fwd/jvp/transpose — while the MXU sat 98% idle.  A single
+            # dot_general moves those MACs to the MXU and halves the temp
+            # traffic vs the two-einsum form.  oh is masked, so the shift
+            # half vanishes on invalid cells.
+            both = jnp.concatenate([scale, shift], axis=-1)  # (B,K,2C)
+            t = jnp.einsum("brk,bkc->brc", oh, both)
+            C_ = scale.shape[-1]
+            return (xr * t[..., :C_] + t[..., C_:]).reshape(orig)
 
         if self.batch_level:
             axes = tuple(range(x.ndim - 1))  # all cell axes incl. batch
@@ -309,10 +313,11 @@ def grid_type_matched_pooling(
         table = sums / jnp.maximum(counts, 1.0)[..., None]
         table = (table * (counts > 0)[..., None]).astype(local_x.dtype)
         key_v = (gid * num_classes + voxel_type).reshape(B, -1)
-        # fused table readback: one_hot is computed inline (iota-compare) and
-        # the K*T reduction fuses with it — no (B,R,KT) HBM materialization
+        # table readback as a dot_general (MXU): the fused broadcast-multiply
+        # + KT-reduce form did KT(=42) VPU MACs per output element at bw~0
+        # (same kLoop pathology as the keyed-norm apply, docs/PERF.md §6)
         onehot_v = jax.nn.one_hot(key_v, kt, dtype=local_x.dtype)  # (B,R,KT)
-        out = jnp.sum(onehot_v[..., None] * table[:, None], axis=2)  # (B,R,C)
+        out = jnp.einsum("brt,btc->brc", onehot_v, table)
         return out.reshape((B,) + cells + (C,))
 
     onehot_l = jax.nn.one_hot(local_type, num_classes, dtype=local_x.dtype)  # (B,NL,T)
