@@ -217,6 +217,15 @@ class Configuration:
     USE_PALLAS_TRAIN: bool = False
     PALLAS_TRAIN_TILE: int = 1
 
+    # Unroll the N_CRITIC discriminator loop inside the jitted train step
+    # (identical math — same fold_in key per iteration).  Hypothesis was that
+    # the while op's loop-carried opt-state copies (~12% of the step as
+    # copy-done/async-done, docs/PERF.md §6) would vanish; MEASURED SLOWER on
+    # v5e-1 at reference scale: 178 -> 197 ms/step (docs/PERF.md §7) — the
+    # unrolled program holds more live buffers and schedules worse.  Kept as
+    # a knob for other scales; OFF by default.
+    UNROLL_CRITIC: bool = False
+
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
             self.SANITY_CHECKING = True

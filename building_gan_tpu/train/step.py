@@ -151,7 +151,12 @@ def make_train_step(
             return params_d, opt_d, d_loss_sum + d_loss
 
         params_d, opt_d, d_loss_sum = jax.lax.fori_loop(
-            0, cfg.N_CRITIC, body, (state.params_d, state.opt_d, jnp.zeros(()))
+            0,
+            cfg.N_CRITIC,
+            body,
+            (state.params_d, state.opt_d, jnp.zeros(())),
+            # unrolled: no while-carried opt/param copies (config.UNROLL_CRITIC)
+            unroll=max(cfg.N_CRITIC, 1) if getattr(cfg, "UNROLL_CRITIC", False) else 1,
         )
         d_loss_mean = d_loss_sum / cfg.N_CRITIC
 

@@ -170,7 +170,7 @@ def test_sp_train_step_matches_unsharded(
     # sharding bug (dropped halo plane, double-counted shard, wrong grad
     # reduction) shifts the update NORM/direction at O(1), which this
     # assertion catches; reassociation noise does not.
-    def assert_updates_match(p0, pa, pb, what):
+    def assert_updates_match(p0, pa, pb, what, rel_tol, cos_tol):
         diff2 = na2 = nb2 = dot = 0.0
         for a0, a1, a2 in zip(
             jax.tree.leaves(p0), jax.tree.leaves(pa), jax.tree.leaves(pb)
@@ -183,10 +183,43 @@ def test_sp_train_step_matches_unsharded(
             dot += float(np.sum(u1 * u2))
         rel = diff2**0.5 / max(na2**0.5, 1e-12)
         cos = dot / max(na2**0.5 * nb2**0.5, 1e-12)
-        assert rel < 3e-2 and cos > 0.999, (what, rel, cos)
+        assert rel < rel_tol and cos > cos_tol, (what, rel, cos)
 
-    assert_updates_match(p_g0, s1.params_g, s2.params_g, "params_g")
-    assert_updates_match(p_d0, s1.params_d, s2.params_d, "params_d")
+    # The critic updates themselves are well-conditioned: measured rel
+    # ~2.6e-4 across compiles (scripts/probe_sp_divergence.py).
+    assert_updates_match(p_d0, s1.params_d, s2.params_d, "params_d", 3e-3, 0.9999)
+    # The G update after N_CRITIC>0 critic updates is NOT: the G adversarial
+    # gradient is the critic's INPUT-gradient, and the benign ~2.6e-4
+    # cross-compile divergence in critic params amplifies ~460x through the
+    # GP-shaped curvature.  Proven without sharding: perturbing the critic by
+    # rel 2.6e-4 inside the UNSHARDED program moves the G update by rel 0.119
+    # / cos 0.993 (scripts/probe_sp_divergence2.py).  Assert direction only;
+    # magnitude is asserted on the well-conditioned N_CRITIC=0 comparison
+    # below, which pins the sharded G/GP path itself at tight tolerance.
+    assert_updates_match(p_g0, s1.params_g, s2.params_g, "params_g", 0.5, 0.95)
+
+    # --- pure G update (N_CRITIC=0): the sharded G gradient itself ---------
+    # With the critic untouched the comparison is well-conditioned (measured
+    # rel 3.4e-5); this is the assertion that catches a real sharding bug in
+    # the generator/GP path at tight tolerance.
+    cfg0 = tiny_cfg(
+        small_cfg,
+        GRID_SHAPE=(8, 8, 8),
+        GRID_BATCH=2,
+        GRID_LOCAL_NODES=64,
+        PACK_GRAPHS=2,
+        COMPUTE_DTYPE="float32",
+        N_CRITIC=0,
+    )
+    state0, _, _ = create_train_state(cfg0, gen, disc, gb, jax.random.key(0), 10)
+    state0 = state0.replace(opt_g=tx_g.init(state0.params_g), opt_d=tx_d.init(state0.params_d))
+    pg0 = jax.tree.map(np.array, state0.params_g)
+    s1g, _ = jax.jit(make_train_step(cfg0, gen, disc, tx_g, tx_d))(
+        state0, gb, jax.random.key(7)
+    )
+    sp_step0 = sp.make_sp_train_step(cfg0, gen, disc, tx_g, tx_d, sp_mesh)
+    s2g, _ = sp_step0(state0, gb, jax.random.key(7))
+    assert_updates_match(pg0, s1g.params_g, s2g.params_g, "params_g_pure", 3e-3, 0.9999)
 
 
 def test_sp_generator_compiles_with_collectives(synthetic_samples, small_cfg, sp_mesh):
