@@ -190,6 +190,11 @@ class Configuration:
     COMPUTE_DTYPE: str = "bfloat16"
     PARAM_DTYPE: str = "float32"
 
+    # PRNG implementation: "auto" = TPU hardware bit generator (rbg) on TPU,
+    # threefry2x32 elsewhere; or an explicit jax impl name.  +11% step
+    # throughput at reference scale (utils/prng.py, docs/PERF.md §9).
+    PRNG_IMPL: str = "auto"
+
     # Mesh: number of data-parallel shards (1 = single chip).
     MESH_DATA: int = 1
 

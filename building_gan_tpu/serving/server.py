@@ -55,6 +55,9 @@ class InferenceServer:
         self.params_version = 0
         self.max_batch = max_batch
         self._batcher = batcherlib.make_batcher(max_batch, int(max_delay_ms * 1000))
+        from ..utils.prng import apply_prng_impl
+
+        apply_prng_impl(getattr(cfg, "PRNG_IMPL", "auto"))  # hw RNG on TPU
         self._base_key = jax.random.key(seed)
 
         from ..models import GridVoxelGNNGenerator

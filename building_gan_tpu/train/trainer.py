@@ -65,8 +65,10 @@ class Trainer:
         mesh=None,
     ):
         from ..utils.cache import enable_compilation_cache
+        from ..utils.prng import apply_prng_impl
 
         enable_compilation_cache()  # reuse compiled steps across runs/resumes
+        apply_prng_impl(getattr(configuration, "PRNG_IMPL", "auto"))  # hw RNG on TPU
         self.generator = generator
         self.discriminator = discriminator
         self.dataloaders = dataloaders

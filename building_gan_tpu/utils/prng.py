@@ -1,0 +1,42 @@
+"""PRNG implementation selection: TPU hardware generator vs threefry.
+
+The default JAX PRNG (threefry2x32) computes random bits with XLA integer
+ops; at reference scale the train step draws ~150M random values (z noise,
+Gumbel noise, GP epsilon, dropout bytes) per step and the threefry
+bit-generation fusions are ~4.8% of the step, with the uniform conversion
+glue on top (docs/PERF.md §6).  The ``rbg`` implementation routes draws
+through XLA's RngBitGenerator — the TPU's hardware generator — while still
+deriving keys (seed/split/fold_in) with threefry, so key semantics (explicit,
+reproducible key discipline; SURVEY.md §2.2) are unchanged.  Measured on
+v5e-1: 793k -> 881k nodes/s (178 -> 160 ms/step, docs/PERF.md §9).
+
+Semantics note (quirk Q9 already applies): the VALUES drawn under rbg differ
+from threefry and are not guaranteed stable across XLA versions or shardings;
+the reference's own RNG stream is torch-global and equally untranslatable.
+Structure (seeded splits, fresh per-step noise) is what parity requires, and
+that is impl-independent.  Tests and strict cross-program parity comparisons
+run on CPU where the default stays threefry.
+"""
+
+from __future__ import annotations
+
+
+def apply_prng_impl(impl: str = "auto") -> str:
+    """Set ``jax_default_prng_impl``; resolves ``"auto"`` by backend.
+
+    auto -> ``rbg`` on TPU backends, ``threefry2x32`` elsewhere (CPU-mesh
+    tests keep bitwise-stable streams).  Returns the impl applied.  Call
+    before creating keys (keys remember their impl; existing keys keep
+    working either way).
+    """
+    import jax
+
+    if impl in ("", "auto", None):
+        impl = "threefry2x32"
+        try:
+            if jax.default_backend() == "tpu":
+                impl = "rbg"
+        except Exception:
+            pass  # backend probe can raise on driver machines (verify skill)
+    jax.config.update("jax_default_prng_impl", impl)
+    return impl
