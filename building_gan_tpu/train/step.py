@@ -75,7 +75,12 @@ def make_train_step(
     def generator_forward(params_g, batch, key, deterministic=False):
         kz, kgum, kdrop = jax.random.split(key, 3)
         _, mask, _ = _batch_fields(batch)
-        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
+        # z directly in the compute dtype: the model casts z.astype(dtype) on
+        # entry anyway, so this is bit-identical — but the cast happens inside
+        # the Box-Muller fusion instead of inside the 42 MB relayout copy the
+        # generator's GEMM layout forces on z (scripts/hlo_copies.py), halving
+        # that copy's read bytes and the RNG fusion's writes.
+        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=cfg.compute_dtype)
         if use_fused:
             return FT.generator_apply_fused(
                 params_g, cfg, batch, z, kgum, kdrop,
@@ -243,7 +248,8 @@ def make_eval_step(cfg: Configuration, gen, disc, axis_name: Optional[str] = Non
     def eval_step(state: TrainState, batch, key: jax.Array):
         kz, kgum = jax.random.split(key)
         types, mask, is_grid = _batch_fields(batch)
-        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=jnp.float32)
+        # compute-dtype z: bit-identical (model casts on entry), cheaper draw
+        z = normal_box_muller(kz, mask.shape + (cfg.Z_DIM,), dtype=cfg.compute_dtype)
         logits, label_hard, _ = gen.apply(
             {"params": state.params_g},
             batch,
