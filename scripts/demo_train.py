@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--log-dir", default=None)
     ap.add_argument("--batch-level-quirks", action="store_true",
                     help="reference parity mode: Q1 batch-level matching + Q5 batch-level GraphNorm")
+    ap.add_argument("--prng", default="auto",
+                    help="PRNG impl: auto (hw RNG on TPU) | threefry2x32 | rbg | unsafe_rbg")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -47,6 +49,7 @@ def main():
         LOG_DIR=os.path.join(args.root, "runs"),
         BATCH_LEVEL_MATCHING=args.batch_level_quirks,
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
+        PRNG_IMPL=args.prng,
     )
 
     if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:
