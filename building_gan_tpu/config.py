@@ -231,6 +231,15 @@ class Configuration:
     # a knob for other scales; OFF by default.
     UNROLL_CRITIC: bool = False
 
+    # Rematerialize the hourglass stacks in the backward passes: wrap each
+    # GridHourglass in jax.checkpoint(policy=dots_saveable) so only the GEMM
+    # outputs are stored as residuals — GraphNorm statistics, attention
+    # softmax planes, ReLU/dropout intermediates are recomputed instead of
+    # being written to and re-read from HBM by the three differentiated
+    # passes (G bwd, critic bwd, GP double-bwd).  A/B knob for the
+    # bandwidth-bound train step (docs/PERF.md §10).
+    REMAT_HOURGLASS: bool = False
+
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
             self.SANITY_CHECKING = True

@@ -12,10 +12,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from ..config import Configuration, NUM_CLASSES
 from ..ops.gumbel import gumbel_softmax_st
 from .grid_layers import GridHourglass, grid_type_matched_pooling
 from .layers import MLPBlock
+
+
+def _hourglass_cls(cfg: Configuration):
+    """GridHourglass, optionally remat-wrapped (config.REMAT_HOURGLASS).
+
+    ``dots_saveable`` keeps GEMM outputs as residuals and recomputes the
+    elementwise tail (norm/attention/relu/dropout) in the backward passes —
+    trading VPU recompute for the HBM writes+reads of those intermediates
+    (docs/PERF.md §10).  static_argnums: deterministic / num_graphs /
+    grid_shape are python values, not tracers.
+    """
+    if not getattr(cfg, "REMAT_HOURGLASS", False):
+        return GridHourglass
+    return nn.remat(
+        GridHourglass,
+        policy=jax.checkpoint_policies.dots_saveable,
+        static_argnums=(3, 5, 6),  # deterministic, num_graphs, grid_shape
+    )
 
 
 class GridVoxelGNNGenerator(nn.Module):
@@ -67,7 +87,7 @@ class GridVoxelGNNGenerator(nn.Module):
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
             x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(x)
 
-        encoded = GridHourglass(
+        encoded = _hourglass_cls(cfg)(
             conv_type=cfg.GENERATOR_CONV_TYPE,
             hidden_dim=cfg.GENERATOR_HIDDEN_DIM,
             repeat=cfg.GENERATOR_ENCODER_REPEAT,
@@ -76,8 +96,7 @@ class GridVoxelGNNGenerator(nn.Module):
             dtype=dtype,
             name="encoder",
         )(
-            x, mask, deterministic,
-            gid=gid, num_graphs=batch.graphs_per_slot, grid_shape=grid_shape,
+            x, mask, deterministic, gid, batch.graphs_per_slot, grid_shape,
         )
 
         final = jnp.concatenate([encoded, x, encoded_matched, voxel_x, z], axis=-1)
@@ -134,7 +153,7 @@ class GridVoxelGNNDiscriminator(nn.Module):
         x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
         x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
 
-        encoded = GridHourglass(
+        encoded = _hourglass_cls(cfg)(
             conv_type=cfg.DISCRIMINATOR_CONV_TYPE,
             hidden_dim=cfg.DISCRIMINATOR_HIDDEN_DIM,
             repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
@@ -143,8 +162,7 @@ class GridVoxelGNNDiscriminator(nn.Module):
             dtype=dtype,
             name="encoder",
         )(
-            x, mask, deterministic,
-            gid=gid, num_graphs=batch.graphs_per_slot, grid_shape=grid_shape,
+            x, mask, deterministic, gid, batch.graphs_per_slot, grid_shape,
         )
 
         d = cfg.DISCRIMINATOR_HIDDEN_DIM

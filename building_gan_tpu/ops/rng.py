@@ -26,12 +26,25 @@ def normal_box_muller(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     direct step-time lever, not a micro-optimisation.
     """
     shape = tuple(shape)
+    k1, k2 = jax.random.split(key)
+    if shape and shape[-1] % 2 == 0:
+        # Even minor dim (the z draw: C = Z_DIM = 128): draw the pair axis
+        # in place, (..., C/2, 2) -> reshape (..., C).  The flat
+        # concat-then-reshape form below leaves z transposed relative to its
+        # (B, R, C) consumers and XLA inserts a 42.6 MB layout-flip copy per
+        # draw (scripts/hlo_copies.py); the shaped form is copy-free.
+        half_shape = shape[:-1] + (shape[-1] // 2,)
+        # u1 in (0, 1]: 1 - uniform[0,1) keeps log() finite
+        u1 = 1.0 - jax.random.uniform(k1, half_shape, dtype=jnp.float32)
+        u2 = jax.random.uniform(k2, half_shape, dtype=jnp.float32)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * jnp.pi) * u2
+        z = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+        return z.reshape(shape).astype(dtype)
     n = 1
     for s in shape:
         n *= s
     half = (n + 1) // 2
-    k1, k2 = jax.random.split(key)
-    # u1 in (0, 1]: 1 - uniform[0,1) keeps log() finite
     u1 = 1.0 - jax.random.uniform(k1, (half,), dtype=jnp.float32)
     u2 = jax.random.uniform(k2, (half,), dtype=jnp.float32)
     r = jnp.sqrt(-2.0 * jnp.log(u1))

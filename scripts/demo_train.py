@@ -28,6 +28,8 @@ def main():
                     help="reference parity mode: Q1 batch-level matching + Q5 batch-level GraphNorm")
     ap.add_argument("--prng", default="auto",
                     help="PRNG impl: auto (hw RNG on TPU) | threefry2x32 | rbg | unsafe_rbg")
+    ap.add_argument("--compute-dtype", default=None,
+                    help="override COMPUTE_DTYPE (bfloat16 default; float32 for quality probes)")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -50,6 +52,7 @@ def main():
         BATCH_LEVEL_MATCHING=args.batch_level_quirks,
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
         PRNG_IMPL=args.prng,
+        **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
     )
 
     if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:

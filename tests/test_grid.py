@@ -175,6 +175,72 @@ def test_grid_train_step_runs(synthetic_samples, grid_cfg):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_remat_hourglass_grad_parity(synthetic_samples, grid_cfg, highest_precision):
+    """Fast remat check: generator loss gradients are identical off vs on."""
+    import jax.flatten_util  # noqa: F401
+
+    outs = []
+    for remat in (False, True):
+        cfg = grid_cfg.replace(COMPUTE_DTYPE="float32", REMAT_HOURGLASS=remat)
+        gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
+        gen = GridVoxelGNNGenerator(configuration=cfg)
+        k = jax.random.key(0)
+        B = gb.x.shape[0]
+        R = int(np.prod(gb.x.shape[1:4]))
+        z = jax.random.normal(k, (B, R, cfg.Z_DIM), dtype=jnp.float32)
+        params = gen.init({"params": k, "gumbel": k, "dropout": k}, gb, z, deterministic=True)
+
+        def loss(p):
+            _, _, soft = gen.apply(p, gb, z, deterministic=False,
+                                   rngs={"gumbel": k, "dropout": k})
+            return jnp.sum(soft.astype(jnp.float32) ** 2) / 1e3
+
+        outs.append((params, jax.jit(jax.grad(loss))(params)))
+
+    (p_off, g_off), (p_on, g_on) = outs
+    assert jax.tree_util.tree_structure(p_off) == jax.tree_util.tree_structure(p_on)
+    f_off = jax.flatten_util.ravel_pytree(g_off)[0]
+    f_on = jax.flatten_util.ravel_pytree(g_on)[0]
+    rel = float(jnp.linalg.norm(f_off - f_on) / (jnp.linalg.norm(f_off) + 1e-12))
+    # remat changes fusion boundaries, so bitwise equality is not expected
+    # under jit — only rounding-level drift (measured 1.8e-6 on this CPU).
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.slow
+def test_remat_hourglass_step_parity(synthetic_samples, grid_cfg, highest_precision):
+    """REMAT_HOURGLASS only changes residual policy, never math.
+
+    The remat-wrapped hourglass must produce the SAME param pytree and the
+    same post-step state as the plain stack (it recomputes the elementwise
+    tail in the backward pass instead of storing it — docs/PERF.md §10).
+    """
+    import jax.flatten_util  # noqa: F401  (not auto-imported by `import jax`)
+
+    from building_gan_tpu.train.state import create_train_state
+    from building_gan_tpu.train.step import make_train_step
+
+    results = []
+    for remat in (False, True):
+        cfg = grid_cfg.replace(COMPUTE_DTYPE="float32", REMAT_HOURGLASS=remat)
+        gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
+        gen = GridVoxelGNNGenerator(configuration=cfg)
+        disc = GridVoxelGNNDiscriminator(configuration=cfg)
+        state, tx_g, tx_d = create_train_state(cfg, gen, disc, gb, jax.random.key(0), 10)
+        step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d))
+        state2, metrics = step(state, gb, jax.random.key(1))
+        results.append((state, state2, metrics))
+
+    (s0_off, s2_off, m_off), (s0_on, s2_on, m_on) = results
+    assert jax.tree_util.tree_structure(s0_off.params_g) == jax.tree_util.tree_structure(s0_on.params_g)
+    for k in ("g_loss", "d_loss"):
+        np.testing.assert_allclose(float(m_off[k]), float(m_on[k]), rtol=3e-3, atol=1e-5)
+    flat_off = jax.flatten_util.ravel_pytree((s2_off.params_g, s2_off.params_d))[0]
+    flat_on = jax.flatten_util.ravel_pytree((s2_on.params_g, s2_on.params_d))[0]
+    rel = float(jnp.linalg.norm(flat_off - flat_on) / (jnp.linalg.norm(flat_off) + 1e-12))
+    assert rel < 3e-3, rel
+
+
 def test_transformer_generator(synthetic_samples, grid_cfg):
     """Stretch config: graph-transformer generator trains one step."""
     from building_gan_tpu.models import GridTransformerGenerator, GridVoxelGNNDiscriminator
