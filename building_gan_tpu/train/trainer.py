@@ -129,17 +129,25 @@ class Trainer:
     # ------------------------------------------------------------------
     @runtime_calculator
     def _train_each_epoch(self, epoch: int) -> dict:
-        sums = defaultdict(float)
-        f1_min = np.inf
+        # Per-batch metrics stay ON DEVICE until the epoch ends: a
+        # device_get inside the loop would block on every step's completion
+        # (one host<->device round trip per batch — through a remote-dispatch
+        # tunnel that is ~1 s each, 10x the step itself), where deferring the
+        # fetch lets XLA queue the whole epoch back-to-back and pays ONE sync.
+        per_batch = []
         n = 0
         base = jax.random.fold_in(jax.random.key(self.configuration.SEED), epoch)
         for i, batch in enumerate(prefetch(self.dataloaders.train_dataloader)):
             self.state, metrics = self.train_step(self.state, batch, jax.random.fold_in(base, i))
-            metrics = jax.device_get(metrics)
+            per_batch.append(metrics)
+            n += 1
+        per_batch = jax.device_get(per_batch)
+        sums = defaultdict(float)
+        f1_min = np.inf
+        for metrics in per_batch:
             for k in ("g_loss", "d_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
-            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
         return out
@@ -148,18 +156,22 @@ class Trainer:
     def _validate_each_epoch(self, epoch: int) -> dict:
         if self.sanity_checking or self.dataloaders.validation_dataloader is None:
             return {"g_loss": 0.0, "f1": 0.0, "f1_min": 0.0, "precision": 0.0, "recall": 0.0, "accuracy": 0.0}
-        sums = defaultdict(float)
-        f1_min = np.inf
+        per_batch = []
         n = 0
         base = jax.random.fold_in(jax.random.key(self.configuration.SEED + 999), epoch)
         for i, batch in enumerate(self.dataloaders.validation_dataloader):
             # mesh mode: the stacked batch evaluates in ONE sharded program
-            # (scores are psum-ed globally inside the step)
-            metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            # (scores are psum-ed globally inside the step); fetch deferred
+            # to epoch end — see _train_each_epoch.
+            per_batch.append(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            n += 1
+        per_batch = jax.device_get(per_batch)
+        sums = defaultdict(float)
+        f1_min = np.inf
+        for metrics in per_batch:
             for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
-            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
         return out
