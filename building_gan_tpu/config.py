@@ -240,6 +240,16 @@ class Configuration:
     # bandwidth-bound train step (docs/PERF.md §10).
     REMAT_HOURGLASS: bool = False
 
+    # Dtype for the critic INSIDE the gradient-penalty branch (the term that
+    # is differentiated twice).  "compute" follows COMPUTE_DTYPE; "float32"
+    # runs just that one critic application in f32 while everything else
+    # stays bf16.  WGAN-GP's regulator is the input-gradient NORM of the
+    # critic at interpolates — at bf16 its 8-bit mantissa noise accumulates
+    # into the penalty signal and 700-epoch runs at reference scale collapse
+    # into a d_loss≈LAMBDA_GP regime (vanished critic gradient) while the
+    # f32 run converges (TRAINING.md "Numerics ablation").
+    GP_DTYPE: str = "compute"
+
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
             self.SANITY_CHECKING = True

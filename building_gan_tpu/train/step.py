@@ -104,6 +104,24 @@ def make_train_step(
             rngs={"dropout": key},
         )
 
+    # GP-branch critic: same params, optionally f32 activations
+    # (config.GP_DTYPE) — the doubly-differentiated penalty needs an accurate
+    # input-gradient norm; see config.py GP_DTYPE and TRAINING.md.
+    disc_gp = (
+        disc.clone(dtype=jnp.float32)
+        if getattr(cfg, "GP_DTYPE", "compute") == "float32"
+        else disc
+    )
+
+    def d_apply_gp(params_d, batch, label, key, deterministic=False):
+        return disc_gp.apply(
+            {"params": params_d},
+            batch,
+            label,
+            deterministic=deterministic,
+            rngs={"dropout": key},
+        )
+
     def d_apply_fast(params_d, batch, label, key, deterministic=False):
         """Critic for real/fake passes: fused kernel when enabled."""
         if use_fused:
@@ -130,7 +148,7 @@ def make_train_step(
                 voxel_mask,
                 kgp,
                 cfg,
-                d_apply_gp=lambda lbl: d_apply(pd, batch, lbl, kd),
+                d_apply_gp=lambda lbl: d_apply_gp(pd, batch, lbl, kd),
             )
 
         d_loss, grads = jax.value_and_grad(d_loss_fn)(params_d)

@@ -30,6 +30,8 @@ def main():
                     help="PRNG impl: auto (hw RNG on TPU) | threefry2x32 | rbg | unsafe_rbg")
     ap.add_argument("--compute-dtype", default=None,
                     help="override COMPUTE_DTYPE (bfloat16 default; float32 for quality probes)")
+    ap.add_argument("--gp-dtype", default=None,
+                    help="critic dtype inside the GP branch: compute (default) | float32")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -53,6 +55,7 @@ def main():
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
         PRNG_IMPL=args.prng,
         **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
+        **({"GP_DTYPE": args.gp_dtype} if args.gp_dtype else {}),
     )
 
     if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:

@@ -175,6 +175,24 @@ def test_grid_train_step_runs(synthetic_samples, grid_cfg):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_gp_dtype_f32_step_runs(synthetic_samples, grid_cfg):
+    """GP_DTYPE='float32' under bf16 compute: step runs, losses finite,
+    and the param pytree is unchanged (the f32 GP critic shares params)."""
+    from building_gan_tpu.train.state import create_train_state
+    from building_gan_tpu.train.step import make_train_step
+
+    cfg = grid_cfg.replace(COMPUTE_DTYPE="bfloat16", GP_DTYPE="float32", N_CRITIC=1)
+    gb = gridlib.pack_grid(synthetic_samples[:2], cfg)
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    disc = GridVoxelGNNDiscriminator(configuration=cfg)
+    state, tx_g, tx_d = create_train_state(cfg, gen, disc, gb, jax.random.key(0), 10)
+    step = jax.jit(make_train_step(cfg, gen, disc, tx_g, tx_d))
+    state2, metrics = step(state, gb, jax.random.key(1))
+    assert jax.tree_util.tree_structure(state2.params_d) == jax.tree_util.tree_structure(state.params_d)
+    for k in ("g_loss", "d_loss", "f1"):
+        assert np.isfinite(float(metrics[k])), k
+
+
 def test_remat_hourglass_grad_parity(synthetic_samples, grid_cfg, highest_precision):
     """Fast remat check: generator loss gradients are identical off vs on."""
     import jax.flatten_util  # noqa: F401
