@@ -245,10 +245,14 @@ class Configuration:
     # runs just that one critic application in f32 while everything else
     # stays bf16.  WGAN-GP's regulator is the input-gradient NORM of the
     # critic at interpolates — at bf16 its 8-bit mantissa noise accumulates
-    # into the penalty signal and 700-epoch runs at reference scale collapse
-    # into a d_loss≈LAMBDA_GP regime (vanished critic gradient) while the
-    # f32 run converges (TRAINING.md "Numerics ablation").
-    GP_DTYPE: str = "compute"
+    # into the penalty signal and the bf16+rbg 700-epoch run at reference
+    # scale collapsed into a d_loss≈LAMBDA_GP regime (vanished critic
+    # gradient, test F1 0.25), while the same stack with an f32 GP branch
+    # reached the best F1 of the whole ablation (0.9888 — TRAINING.md
+    # "Numerics ablation").  Default f32: ~1 of the step's ~22 network
+    # traversals runs on the small critic in f32 — quality-by-default at
+    # negligible cost (bench detail `gp_dtype`).
+    GP_DTYPE: str = "float32"
 
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:

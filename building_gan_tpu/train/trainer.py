@@ -311,16 +311,19 @@ class Trainer:
         """Test-split metrics printout (reference trainer.py:749-806)."""
         loader = self.dataloaders.test_dataloader
         assert loader is not None, "no test split (sanity mode?)"
-        sums = defaultdict(float)
-        f1_min = np.inf
+        per_batch = []
         n = 0
         base = jax.random.key(self.configuration.SEED + 31337)
         for i, batch in enumerate(loader):
-            metrics = jax.device_get(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            per_batch.append(self.eval_step(self.state, batch, jax.random.fold_in(base, i)))
+            n += 1
+        per_batch = jax.device_get(per_batch)  # one sync — see _train_each_epoch
+        sums = defaultdict(float)
+        f1_min = np.inf
+        for metrics in per_batch:
             for k in ("f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
-            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
 

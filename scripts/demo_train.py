@@ -32,6 +32,8 @@ def main():
                     help="override COMPUTE_DTYPE (bfloat16 default; float32 for quality probes)")
     ap.add_argument("--gp-dtype", default=None,
                     help="critic dtype inside the GP branch: compute (default) | float32")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override config SEED (default 777) for repeat runs")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -56,6 +58,7 @@ def main():
         PRNG_IMPL=args.prng,
         **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
         **({"GP_DTYPE": args.gp_dtype} if args.gp_dtype else {}),
+        **({"SEED": args.seed} if args.seed is not None else {}),
     )
 
     if not os.path.isdir(proc) or len(os.listdir(proc)) < 2 * args.buildings:
