@@ -39,7 +39,7 @@ def main():
 
     from building_gan_tpu.utils.prng import apply_prng_impl
 
-    prng_impl = apply_prng_impl(PRNG_IMPL)
+    prng_impl = apply_prng_impl(PRNG_IMPL, inference=True)
 
     from building_gan_tpu.utils.cache import enable_compilation_cache
 

@@ -57,7 +57,7 @@ class InferenceServer:
         self._batcher = batcherlib.make_batcher(max_batch, int(max_delay_ms * 1000))
         from ..utils.prng import apply_prng_impl
 
-        apply_prng_impl(getattr(cfg, "PRNG_IMPL", "auto"))  # hw RNG on TPU
+        apply_prng_impl(getattr(cfg, "PRNG_IMPL", "auto"), inference=True)  # hw RNG ok: no training dynamics
         self._base_key = jax.random.key(seed)
 
         from ..models import GridVoxelGNNGenerator

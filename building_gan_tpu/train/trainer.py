@@ -68,7 +68,7 @@ class Trainer:
         from ..utils.prng import apply_prng_impl
 
         enable_compilation_cache()  # reuse compiled steps across runs/resumes
-        apply_prng_impl(getattr(configuration, "PRNG_IMPL", "auto"))  # hw RNG on TPU
+        apply_prng_impl(getattr(configuration, "PRNG_IMPL", "auto"))  # auto -> threefry (see utils/prng.py)
         self.generator = generator
         self.discriminator = discriminator
         self.dataloaders = dataloaders

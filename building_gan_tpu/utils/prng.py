@@ -21,22 +21,34 @@ run on CPU where the default stays threefry.
 from __future__ import annotations
 
 
-def apply_prng_impl(impl: str = "auto") -> str:
-    """Set ``jax_default_prng_impl``; resolves ``"auto"`` by backend.
+def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
+    """Set ``jax_default_prng_impl``; resolves ``"auto"`` by context.
 
-    auto -> ``rbg`` on TPU backends, ``threefry2x32`` elsewhere (CPU-mesh
-    tests keep bitwise-stable streams).  Returns the impl applied.  Call
-    before creating keys (keys remember their impl; existing keys keep
-    working either way).
+    auto -> ``threefry2x32`` for TRAINING; ``rbg`` on TPU only when
+    ``inference=True``.  Returns the impl applied.  Call before creating
+    keys (keys remember their impl; existing keys keep working either way).
+
+    Why training stays threefry: the 700-epoch WGAN-GP ablation
+    (TRAINING.md "Numerics ablation") collapsed 2 of 3 rbg arms at BOTH f32
+    and bf16 compute while every threefry arm converged — the adversarial
+    critic+GP dynamics are a sensitive assay for stream quality.  A
+    plausible mechanism is visible in jax's rbg implementation: seeded rbg
+    keys are [a, b, a, b] (the threefry halfkey duplicated) and split/
+    fold_in apply the same threefry derivation to both identical halves, so
+    EVERY key in the program keeps identical halves — the TPU
+    RngBitGenerator always sees structured, effectively-64-bit keys.
+    Inference draws (z for sampling/serving/viz) carry no feedback loop, so
+    the measured 11% step win (docs/PERF.md §9) stays on by default there.
     """
     import jax
 
     if impl in ("", "auto", None):
         impl = "threefry2x32"
-        try:
-            if jax.default_backend() == "tpu":
-                impl = "rbg"
-        except Exception:
-            pass  # backend probe can raise on driver machines (verify skill)
+        if inference:
+            try:
+                if jax.default_backend() == "tpu":
+                    impl = "rbg"
+            except Exception:
+                pass  # backend probe can raise on driver machines (verify skill)
     jax.config.update("jax_default_prng_impl", impl)
     return impl
