@@ -244,15 +244,15 @@ class Configuration:
     # is differentiated twice).  "compute" follows COMPUTE_DTYPE; "float32"
     # runs just that one critic application in f32 while everything else
     # stays bf16.  WGAN-GP's regulator is the input-gradient NORM of the
-    # critic at interpolates — at bf16 its 8-bit mantissa noise accumulates
-    # into the penalty signal and the bf16+rbg 700-epoch run at reference
-    # scale collapsed into a d_loss≈LAMBDA_GP regime (vanished critic
-    # gradient, test F1 0.25), while the same stack with an f32 GP branch
-    # reached the best F1 of the whole ablation (0.9888 — TRAINING.md
-    # "Numerics ablation").  Default f32: ~1 of the step's ~22 network
-    # traversals runs on the small critic in f32 — quality-by-default at
-    # negligible cost (bench detail `gp_dtype`).
-    GP_DTYPE: str = "float32"
+    # critic at interpolates.  The 700-epoch ablation (TRAINING.md "Numerics
+    # ablation"): under the threefry training default, bf16 GP converges
+    # (F1 0.9733) and f32 GP buys no measurable quality (0.9601) while
+    # costing 23% step time (806.6k -> 617.7k nodes/s — the GP branch is
+    # 3 critic passes x N_CRITIC, all doubled to f32 bytes).  Under the
+    # hardware RNG (PRNG_IMPL="rbg") bf16 GP COLLAPSED (F1 0.25) and f32 GP
+    # converged 2/2 seeds (0.9888 / 0.9838) — set GP_DTYPE="float32"
+    # whenever training with rbg.
+    GP_DTYPE: str = "compute"
 
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
