@@ -190,9 +190,13 @@ class Configuration:
     COMPUTE_DTYPE: str = "bfloat16"
     PARAM_DTYPE: str = "float32"
 
-    # PRNG implementation: "auto" = TPU hardware bit generator (rbg) on TPU,
-    # threefry2x32 elsewhere; or an explicit jax impl name.  +11% step
-    # throughput at reference scale (utils/prng.py, docs/PERF.md §9).
+    # PRNG implementation (utils/prng.py): "auto" = threefry2x32 for training
+    # (the hardware rbg impl collapses 700-epoch WGAN-GP runs — docs/PERF.md
+    # §11), rbg on TPU for inference surfaces (+11% step, §9); or an explicit
+    # jax impl name; or "rbg_full" = threefry key derivation with bulk bits
+    # from the TPU hardware generator under full-entropy 128-bit keys
+    # (ops/rng.py::bulk_key) — the throughput of rbg without its structured
+    # [a,b,a,b] keys (§12).
     PRNG_IMPL: str = "auto"
 
     # Mesh: number of data-parallel shards (1 = single chip).

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .rng import bulk_key
+
 
 class FastDropout(nn.Module):
     """Drop-in replacement for `nn.Dropout(rate)(x, deterministic)`."""
@@ -39,7 +41,7 @@ class FastDropout(nn.Module):
             return jnp.zeros_like(x)
         keep_p = 1.0 - drop_levels / 256.0
         rng = self.make_rng(self.rng_collection)
-        bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+        bits = jax.random.bits(bulk_key(rng), x.shape, dtype=jnp.uint8)
         keep = bits >= jnp.uint8(drop_levels)  # P(keep) = (256-d)/256 exactly
         scale = jnp.asarray(1.0 / keep_p, dtype=x.dtype)
         return jnp.where(keep, x * scale, jnp.zeros_like(x))

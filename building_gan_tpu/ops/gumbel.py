@@ -17,12 +17,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .rng import bulk_key
+
 
 def gumbel_softmax_st(
     logits: jnp.ndarray, key: jax.Array, tau: float = 1.0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(label_hard, label_soft)``; hard carries the ST gradient."""
-    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    g = jax.random.gumbel(bulk_key(key), logits.shape, dtype=logits.dtype)
     label_soft = jax.nn.softmax((logits + g) / tau, axis=-1)
     idx = jnp.argmax(label_soft, axis=-1)
     hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=logits.dtype)

@@ -15,6 +15,42 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Hardware bulk bit generation (PRNG_IMPL="rbg_full", utils/prng.py).
+# Toggled at trace time; OFF by default so tests/parity keep pure threefry.
+_HW_BULK = False
+
+
+def set_hw_bulk(enabled: bool) -> None:
+    """Enable/disable hardware (RngBitGenerator) bulk draws via `bulk_key`."""
+    global _HW_BULK
+    _HW_BULK = bool(enabled)
+
+
+def hw_bulk_enabled() -> bool:
+    return _HW_BULK
+
+
+def bulk_key(key: jax.Array) -> jax.Array:
+    """The key a BULK leaf draw (no further split/fold_in) should use.
+
+    Identity by default.  Under ``PRNG_IMPL="rbg_full"`` it derives a
+    FULL-ENTROPY 128-bit ``rbg`` key from the threefry key — 4 independent
+    threefry output words wrapped with ``jax.random.wrap_key_data`` — so the
+    bulk bits come from the TPU hardware generator while key DERIVATION stays
+    threefry end-to-end.  This is deliberately different from jax's seeded
+    ``rbg`` keys, which duplicate the threefry halfkey ([a, b, a, b]) and
+    derive both halves identically under split/fold_in, so the hardware
+    generator only ever sees structured, effectively-64-bit keys — the defect
+    implicated in the 700-epoch WGAN-GP collapse (docs/PERF.md §11).  Here no
+    rbg key is ever split or folded: every hardware invocation gets an
+    unstructured 128-bit key, and the threefry cost is 4 words per draw SITE
+    instead of per element.
+    """
+    if not _HW_BULK:
+        return key
+    data = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
 
 def normal_box_muller(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     """N(0,1) sample of ``shape`` via Box-Muller (exact, erf_inv-free).
@@ -27,6 +63,7 @@ def normal_box_muller(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     """
     shape = tuple(shape)
     k1, k2 = jax.random.split(key)
+    k1, k2 = bulk_key(k1), bulk_key(k2)
     if shape and shape[-1] % 2 == 0:
         # Even minor dim (the z draw: C = Z_DIM = 128): draw the pair axis
         # in place, (..., C/2, 2) -> reshape (..., C).  The flat

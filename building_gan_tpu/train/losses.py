@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Configuration, NUM_CLASSES, VOID
+from ..ops.rng import bulk_key
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +55,7 @@ def gradient_penalty(
 ) -> jnp.ndarray:
     """WGAN-GP on the label simplex (reference trainer.py:291-316)."""
     eps = jax.random.uniform(
-        key, voxel_mask.shape + (1,), dtype=types_onehot.dtype
+        bulk_key(key), voxel_mask.shape + (1,), dtype=types_onehot.dtype
     )
     interpolated = eps * types_onehot + (1.0 - eps) * label_soft
 

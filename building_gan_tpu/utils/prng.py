@@ -42,6 +42,8 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
     """
     import jax
 
+    from ..ops.rng import set_hw_bulk
+
     if impl in ("", "auto", None):
         impl = "threefry2x32"
         if inference:
@@ -50,5 +52,17 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
                     impl = "rbg"
             except Exception:
                 pass  # backend probe can raise on driver machines (verify skill)
+    if impl == "rbg_full":
+        # Full-entropy hardware bulk generation (docs/PERF.md §12): keys and
+        # all split/fold_in derivation stay threefry; each BULK leaf draw
+        # (z uniforms, Gumbel, GP epsilon, dropout bytes) wraps 4 independent
+        # threefry words into an unstructured 128-bit rbg key and generates
+        # its bits on the TPU hardware generator (ops/rng.py::bulk_key).
+        # This keeps the rbg throughput win while avoiding the structured
+        # [a,b,a,b] keys implicated in the WGAN-GP collapse (§11).
+        set_hw_bulk(True)
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        return impl
+    set_hw_bulk(False)
     jax.config.update("jax_default_prng_impl", impl)
     return impl
