@@ -21,7 +21,13 @@ _HW_BULK = False
 
 
 def set_hw_bulk(enabled: bool) -> None:
-    """Enable/disable hardware (RngBitGenerator) bulk draws via `bulk_key`."""
+    """Enable/disable hardware (RngBitGenerator) bulk draws via `bulk_key`.
+
+    Raw trace-time switch: the flag is NOT part of the jit cache key, so
+    flipping it does not invalidate already-compiled executables.  Use
+    ``utils.prng.apply_prng_impl`` (which clears jax's compilation caches on
+    a mode change) unless you know no affected function has been traced.
+    """
     global _HW_BULK
     _HW_BULK = bool(enabled)
 

@@ -27,6 +27,10 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
     auto -> ``threefry2x32`` for TRAINING; ``rbg`` on TPU only when
     ``inference=True``.  Returns the impl applied.  Call before creating
     keys (keys remember their impl; existing keys keep working either way).
+    Safe to call after tracing too: flipping the ``rbg_full`` hw-bulk mode
+    clears jax's compilation caches, because that flag is trace-time module
+    state rather than part of the jit cache key — without the clear, steps
+    compiled under the previous mode would silently keep its RNG routing.
 
     Why training stays threefry: the 700-epoch WGAN-GP ablation
     (TRAINING.md "Numerics ablation") collapsed 2 of 3 rbg arms at BOTH f32
@@ -40,9 +44,11 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
     Inference draws (z for sampling/serving/viz) carry no feedback loop, so
     the measured 11% step win (docs/PERF.md §9) stays on by default there.
     """
+    import warnings
+
     import jax
 
-    from ..ops.rng import set_hw_bulk
+    from ..ops.rng import hw_bulk_enabled, set_hw_bulk
 
     if impl in ("", "auto", None):
         impl = "threefry2x32"
@@ -60,9 +66,27 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
         # its bits on the TPU hardware generator (ops/rng.py::bulk_key).
         # This keeps the rbg throughput win while avoiding the structured
         # [a,b,a,b] keys implicated in the WGAN-GP collapse (§11).
+        try:
+            if jax.default_backend() != "tpu":
+                warnings.warn(
+                    "PRNG_IMPL='rbg_full' on a non-TPU backend: RngBitGenerator "
+                    "is a software fallback there — slower than threefry and "
+                    "backend-dependent in its values.  Intended for TPU only.",
+                    stacklevel=2,
+                )
+        except Exception:
+            pass  # backend probe can raise on driver machines (verify skill)
+        if not hw_bulk_enabled():
+            # The hw-bulk flag is trace-time module state, NOT part of the jit
+            # cache key: executables compiled before the flip would silently
+            # keep the old RNG routing.  Drop them so every live jitted
+            # function re-traces under the new mode.
+            jax.clear_caches()
         set_hw_bulk(True)
         jax.config.update("jax_default_prng_impl", "threefry2x32")
         return impl
+    if hw_bulk_enabled():
+        jax.clear_caches()  # see rbg_full branch: flag is not a jit cache key
     set_hw_bulk(False)
     jax.config.update("jax_default_prng_impl", impl)
     return impl
