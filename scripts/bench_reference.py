@@ -52,28 +52,36 @@ def _stub_modules():
     only on this path), IPython/tqdm pass-throughs.  The PyG *layers* come
     from tests/test_reference_model_parity.py's documented-semantics stubs.
     """
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        # torch._dynamo scans sys.modules and requires a real __spec__
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
     if "pytz" not in sys.modules:
-        pytz = types.ModuleType("pytz")
+        pytz = _mod("pytz")
         pytz.timezone = lambda name: datetime.timezone.utc
         sys.modules["pytz"] = pytz
     if "tqdm" not in sys.modules:
-        tq = types.ModuleType("tqdm")
+        tq = _mod("tqdm")
         tq.tqdm = lambda x, *a, **k: x
         sys.modules["tqdm"] = tq
     # PyG layer stubs (GATConv/GraphNorm/Sequential) + data.Batch
     import test_reference_model_parity as stubs
 
-    tg = sys.modules.get("torch_geometric") or types.ModuleType("torch_geometric")
-    tgnn = types.ModuleType("torch_geometric.nn")
+    tg = sys.modules.get("torch_geometric") or _mod("torch_geometric")
+    tgnn = _mod("torch_geometric.nn")
     tgnn.GATConv = stubs.StubGATConv
     tgnn.GCNConv = None
     tgnn.GraphConv = None
     tgnn.GATv2Conv = None
     tgnn.Sequential = stubs.StubSequential
-    norm = types.ModuleType("torch_geometric.nn.norm")
+    norm = _mod("torch_geometric.nn.norm")
     norm.GraphNorm = stubs.StubGraphNorm
     tgnn.norm = norm
-    tgd = types.ModuleType("torch_geometric.data")
+    tgd = _mod("torch_geometric.data")
     tgd.Data = tgd.Dataset = tgd.Batch = object
     tg.nn = tgnn
     tg.data = tgd
@@ -189,10 +197,10 @@ def main():
     trainer.generator = generator
     trainer.discriminator = discriminator
     trainer.optimizer_generator = torch.optim.Adam(
-        generator.parameters(), lr=cfg.LEARNING_RATE, betas=(cfg.BETAS[0], cfg.BETAS[1])
+        generator.parameters(), lr=cfg.LEARNING_RATE_GENERATOR, betas=cfg.BETAS
     )
     trainer.optimizer_discriminator = torch.optim.Adam(
-        discriminator.parameters(), lr=cfg.LEARNING_RATE, betas=(cfg.BETAS[0], cfg.BETAS[1])
+        discriminator.parameters(), lr=cfg.LEARNING_RATE_DISCRIMINATOR, betas=cfg.BETAS
     )
 
     batches = []
