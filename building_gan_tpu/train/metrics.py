@@ -96,6 +96,46 @@ def grid_confusion_matrices(
     return jnp.einsum("bfyxt,bfyxp->btp", oh_t, oh_p)
 
 
+F1_HIST_BINS = 32
+
+
+def per_graph_f1_hist(
+    per_graph_f1: jnp.ndarray, graph_mask: jnp.ndarray, bins: int = F1_HIST_BINS
+) -> jnp.ndarray:
+    """(bins,) count histogram of per-graph F1 over REAL graphs.
+
+    Counts are additive, so sharded runs ``psum`` them across the mesh and
+    recover the exact global distribution the reference logs per batch as a
+    python list (`building_gan/src/trainer.py:418-441`) — min / p10 / median
+    come out of the epoch-summed histogram on the host (trainer).  Bin i
+    covers [i/bins, (i+1)/bins); F1 == 1.0 lands in the last bin.
+    """
+    idx = jnp.clip((per_graph_f1 * bins).astype(jnp.int32), 0, bins - 1)
+    oh = jax.nn.one_hot(idx, bins, dtype=jnp.float32)
+    w = (graph_mask > 0).astype(jnp.float32)
+    return jnp.sum(oh * w[..., None], axis=tuple(range(oh.ndim - 1)))
+
+
+def hist_quantile(hist, q: float) -> float:
+    """Host-side quantile of a per-graph-F1 count histogram (bin centers).
+
+    Used by the trainer to turn the epoch-summed (psum-exact) histogram into
+    the min/p10/median scalars the reference derives from its per-graph F1
+    python list (`building_gan/src/trainer.py:418-441`)."""
+    import numpy as np
+
+    hist = np.asarray(hist, dtype=np.float64)
+    total = hist.sum()
+    if total <= 0:
+        return 0.0
+    bins = hist.shape[0]
+    cum = np.cumsum(hist)
+    # smallest bin with cum >= q*total (q=0 -> first NONZERO bin, the min)
+    i = int(np.searchsorted(cum, max(q * total, 1e-12), side="left"))
+    i = min(i, bins - 1)
+    return (i + 0.5) / bins
+
+
 def compute_metrics(
     y_true: jnp.ndarray,
     y_pred: jnp.ndarray,
@@ -127,6 +167,7 @@ def compute_metrics(
             "accuracy": batch_scores["accuracy"],
             "confusion_matrix": cm,
             "per_graph_f1": per_graph["f1"],
+            "per_graph_f1_hist": per_graph_f1_hist(per_graph["f1"], graph_mask),
         }
 
     num_graphs = graph_mask.shape[0]
@@ -146,4 +187,5 @@ def compute_metrics(
         "accuracy": batch_scores["accuracy"],
         "confusion_matrix": cm,
         "per_graph_f1": per_graph["f1"],
+        "per_graph_f1_hist": per_graph_f1_hist(per_graph["f1"], graph_mask),
     }

@@ -226,9 +226,15 @@ def make_train_step(
                 "precision": scores["precision"],
                 "recall": scores["recall"],
                 "accuracy": scores["accuracy"],
+                # per-graph F1 distribution survives sharding: counts psum
+                # exactly (reference logs the per-graph list, trainer.py:418-441)
+                "per_graph_f1_hist": jax.lax.psum(m["per_graph_f1_hist"], axis_name),
             }
         else:
-            m = {k: m[k] for k in ("f1", "f1_min", "precision", "recall", "accuracy")}
+            m = {
+                k: m[k]
+                for k in ("f1", "f1_min", "precision", "recall", "accuracy", "per_graph_f1_hist")
+            }
 
         metrics = {
             "g_loss": wmean(g_loss, w),
@@ -304,12 +310,14 @@ def make_eval_step(cfg: Configuration, gen, disc, axis_name: Optional[str] = Non
                 "precision": scores["precision"],
                 "recall": scores["recall"],
                 "accuracy": scores["accuracy"],
+                "per_graph_f1_hist": jax.lax.psum(m["per_graph_f1_hist"], axis_name),
             }
         return {
             "g_loss": g_loss,
             **g_aux,
             **{k: m[k] for k in ("f1", "f1_min", "precision", "recall", "accuracy")},
             "per_graph_f1": m["per_graph_f1"],
+            "per_graph_f1_hist": m["per_graph_f1_hist"],
         }
 
     return eval_step

@@ -29,6 +29,7 @@ from ..checkpoint import ckpt
 from ..config import Configuration
 from ..data.pipeline import GraphDataLoaders, prefetch
 from ..parallel import dp
+from . import metrics as M
 from .state import cosine_lr, create_train_state, set_g_lr
 from .step import make_eval_step, make_train_step
 
@@ -144,12 +145,15 @@ class Trainer:
         per_batch = jax.device_get(per_batch)
         sums = defaultdict(float)
         f1_min = np.inf
+        hist = 0.0
         for metrics in per_batch:
             for k in ("g_loss", "d_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
+            hist = hist + np.asarray(metrics.get("per_graph_f1_hist", 0.0))
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
+        out["f1_hist"] = hist  # epoch-summed per-graph F1 histogram (psum-exact)
         return out
 
     @runtime_calculator
@@ -168,12 +172,15 @@ class Trainer:
         per_batch = jax.device_get(per_batch)
         sums = defaultdict(float)
         f1_min = np.inf
+        hist = 0.0
         for metrics in per_batch:
             for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
+            hist = hist + np.asarray(metrics.get("per_graph_f1_hist", 0.0))
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
+        out["f1_hist"] = hist
         return out
 
     # ------------------------------------------------------------------
@@ -222,6 +229,33 @@ class Trainer:
             writer.add_scalar("recall_score_validation", va["recall"], epoch)
             writer.add_scalar("accuracy_score_train", tr["accuracy"], epoch)
             writer.add_scalar("accuracy_score_validation", va["accuracy"], epoch)
+
+            # per-graph F1 distribution (reference logs the per-graph list,
+            # trainer.py:418-441; here min/p10/median + a TB histogram come
+            # from the psum-exact epoch histogram — sharded runs included)
+            for tag, d in (("train", tr), ("validation", va)):
+                hist = np.asarray(d.get("f1_hist", 0.0))
+                if hist.ndim != 1 or hist.sum() <= 0:
+                    continue
+                writer.add_scalar(
+                    f"f1_score_p10_{tag}", M.hist_quantile(hist, 0.10), epoch
+                )
+                writer.add_scalar(
+                    f"f1_score_median_{tag}", M.hist_quantile(hist, 0.50), epoch
+                )
+                bins = hist.shape[0]
+                centers = (np.arange(bins) + 0.5) / bins
+                writer.add_histogram_raw(
+                    f"per_graph_f1_{tag}",
+                    min=float(M.hist_quantile(hist, 0.0)),
+                    max=float(M.hist_quantile(hist, 1.0)),
+                    num=int(hist.sum()),
+                    sum=float((hist * centers).sum()),
+                    sum_squares=float((hist * centers**2).sum()),
+                    bucket_limits=((np.arange(bins) + 1.0) / bins).tolist(),
+                    bucket_counts=hist.tolist(),
+                    global_step=epoch,
+                )
 
             if best_f1_score < current_f1_score:
                 print(f"Best f1 score updated: {best_f1_score} -> {current_f1_score}")

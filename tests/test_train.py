@@ -102,6 +102,30 @@ def test_per_graph_f1_min_matches_sklearn():
         start += s
     assert np.isclose(float(m["f1_min"]), min(expected), atol=1e-6)
 
+    # per-graph F1 histogram: one count per REAL graph, in the right bin
+    # (the psum-able replacement for the reference's per-graph F1 list,
+    # trainer.py:418-441); the padded slot must contribute nothing.
+    hist = np.asarray(m["per_graph_f1_hist"])
+    assert hist.shape == (M.F1_HIST_BINS,)
+    assert hist.sum() == len(sizes)
+    for f1 in expected:
+        b = min(int(f1 * M.F1_HIST_BINS), M.F1_HIST_BINS - 1)
+        assert hist[b] >= 1
+    # quantiles from the histogram bracket the true values to bin width
+    w = 1.0 / M.F1_HIST_BINS
+    assert abs(M.hist_quantile(hist, 0.0) - min(expected)) <= w
+    assert abs(M.hist_quantile(hist, 1.0) - max(expected)) <= w
+    assert abs(M.hist_quantile(hist, 0.5) - sorted(expected)[1]) <= w
+
+
+def test_per_graph_f1_hist_edge_cases():
+    # F1 == 1.0 lands in the LAST bin (not out of range); empty mask -> 0s
+    hist = np.asarray(
+        M.per_graph_f1_hist(jnp.array([1.0, 0.0, 0.5]), jnp.array([1.0, 1.0, 0.0]))
+    )
+    assert hist[-1] == 1 and hist[0] == 1 and hist.sum() == 2
+    assert M.hist_quantile(np.zeros(M.F1_HIST_BINS), 0.5) == 0.0
+
 
 # ---------------------------------------------------------------------------
 # losses
