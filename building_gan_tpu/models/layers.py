@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from ..ops import segment as seg
 from ..ops.dropout import FastDropout
-from ..ops.message_passing import gat_aggregate
+from ..ops.message_passing import gat_aggregate_xla
 
 
 class MLPBlock(nn.Module):
@@ -117,7 +117,7 @@ class GATConv(nn.Module):
 
         a_src = (h @ att_src)[:, 0]  # (N,)
         a_dst = (h @ att_dst)[:, 0]  # (N,)
-        out = gat_aggregate(
+        out = gat_aggregate_xla(  # parity-oracle path (ops/message_passing.py)
             h, a_src, a_dst, src, dst, edge_mask, negative_slope=self.negative_slope
         )
         return out + bias

@@ -1,5 +1,5 @@
 from . import segment
 from .gumbel import gumbel_softmax_st
-from .message_passing import gat_aggregate, gat_aggregate_xla
+from .message_passing import gat_aggregate_xla
 from .pooling import type_matched_pooling
 from . import stencil
