@@ -24,25 +24,28 @@ from __future__ import annotations
 def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
     """Set ``jax_default_prng_impl``; resolves ``"auto"`` by context.
 
-    auto -> ``threefry2x32`` for TRAINING; ``rbg`` on TPU only when
-    ``inference=True``.  Returns the impl applied.  Call before creating
-    keys (keys remember their impl; existing keys keep working either way).
-    Safe to call after tracing too: flipping the ``rbg_full`` hw-bulk mode
-    clears jax's compilation caches, because that flag is trace-time module
-    state rather than part of the jit cache key — without the clear, steps
-    compiled under the previous mode would silently keep its RNG routing.
+    auto -> on TPU, ``rbg_full`` for training and ``rbg`` for inference
+    surfaces; ``threefry2x32`` everywhere else (CPU tests/parity keep
+    bitwise-stable streams).  Returns the impl applied.  Call before
+    creating keys (keys remember their impl; existing keys keep working
+    either way).  Safe to call after tracing too: flipping the ``rbg_full``
+    hw-bulk mode clears jax's compilation caches, because that flag is
+    trace-time module state rather than part of the jit cache key — without
+    the clear, steps compiled under the previous mode would silently keep
+    its RNG routing.
 
-    Why training stays threefry: the 700-epoch WGAN-GP ablation
-    (TRAINING.md "Numerics ablation") collapsed 2 of 3 rbg arms at BOTH f32
-    and bf16 compute while every threefry arm converged — the adversarial
-    critic+GP dynamics are a sensitive assay for stream quality.  A
-    plausible mechanism is visible in jax's rbg implementation: seeded rbg
-    keys are [a, b, a, b] (the threefry halfkey duplicated) and split/
-    fold_in apply the same threefry derivation to both identical halves, so
-    EVERY key in the program keeps identical halves — the TPU
-    RngBitGenerator always sees structured, effectively-64-bit keys.
-    Inference draws (z for sampling/serving/viz) carry no feedback loop, so
-    the measured 11% step win (docs/PERF.md §9) stays on by default there.
+    History of this default (TRAINING.md "Numerics ablation" +
+    "rbg_full multi-seed validation"): plain ``rbg`` trains 11% faster but
+    collapsed 2 of 4 WGAN-GP arms — jax's seeded rbg keys are [a, b, a, b]
+    (the threefry halfkey duplicated) and split/fold_in derive both halves
+    identically, so the TPU RngBitGenerator only ever sees structured,
+    effectively-64-bit keys.  Training therefore ran threefry through round
+    3.  ``rbg_full`` (threefry key derivation + full-entropy 128-bit bulk
+    keys, docs/PERF.md §12) keeps 99.6% of the hardware-RNG win and passed
+    the same 700-epoch assay on 3/3 seeds (777/1234/2024: test F1 0.9787/
+    0.9833/0.9830, every arm above the best threefry arm) — it became the
+    training default in round 4.  Inference draws carry no feedback loop,
+    so plain ``rbg`` (marginally faster) stays the auto choice there.
     """
     import warnings
 
@@ -52,12 +55,11 @@ def apply_prng_impl(impl: str = "auto", inference: bool = False) -> str:
 
     if impl in ("", "auto", None):
         impl = "threefry2x32"
-        if inference:
-            try:
-                if jax.default_backend() == "tpu":
-                    impl = "rbg"
-            except Exception:
-                pass  # backend probe can raise on driver machines (verify skill)
+        try:
+            if jax.default_backend() == "tpu":
+                impl = "rbg" if inference else "rbg_full"
+        except Exception:
+            pass  # backend probe can raise on driver machines (verify skill)
     if impl == "rbg_full":
         # Full-entropy hardware bulk generation (docs/PERF.md §12): keys and
         # all split/fold_in derivation stay threefry; each BULK leaf draw

@@ -20,6 +20,10 @@ from building_gan_tpu.train.step import make_train_step
 
 N = int(os.environ.get("PROF_N", "128"))
 K = int(os.environ.get("PROF_K", "1"))  # buildings per slot (bench uses 6)
+_prng = os.environ.get("PROF_PRNG")  # e.g. rbg_full to profile the headline
+if _prng:
+    from building_gan_tpu.utils.prng import apply_prng_impl
+    apply_prng_impl(_prng)
 samples = []
 for i in range(N):
     g, l, v = synthetic.generate_building_real_scale(i)
