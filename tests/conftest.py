@@ -46,7 +46,10 @@ def pytest_collection_modifyitems(config, items):
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in HEAVY_MODULES:
             item.add_marker(pytest.mark.heavy)
-        elif item.get_closest_marker("slow") is None:
+        elif (
+            item.get_closest_marker("slow") is None
+            and item.get_closest_marker("heavy") is None
+        ):
             item.add_marker(pytest.mark.core)
 
 from building_gan_tpu.config import Configuration  # noqa: E402

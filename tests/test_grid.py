@@ -160,6 +160,7 @@ def test_generated_far_grid(synthetic_samples, grid_cfg):
     np.testing.assert_allclose(far_gen[:2], gb.far[:2], rtol=1e-4)
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_grid_train_step_runs(synthetic_samples, grid_cfg):
     from building_gan_tpu.train.state import create_train_state
     from building_gan_tpu.train.step import make_train_step
@@ -175,6 +176,7 @@ def test_grid_train_step_runs(synthetic_samples, grid_cfg):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_gp_dtype_f32_step_runs(synthetic_samples, grid_cfg):
     """GP_DTYPE='float32' under bf16 compute: step runs, losses finite,
     and the param pytree is unchanged (the f32 GP critic shares params)."""
@@ -193,6 +195,7 @@ def test_gp_dtype_f32_step_runs(synthetic_samples, grid_cfg):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_remat_hourglass_grad_parity(synthetic_samples, grid_cfg, highest_precision):
     """Fast remat check: generator loss gradients are identical off vs on."""
     import jax.flatten_util  # noqa: F401
@@ -259,6 +262,7 @@ def test_remat_hourglass_step_parity(synthetic_samples, grid_cfg, highest_precis
     assert rel < 3e-3, rel
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_transformer_generator(synthetic_samples, grid_cfg):
     """Stretch config: graph-transformer generator trains one step."""
     from building_gan_tpu.models import GridTransformerGenerator, GridVoxelGNNDiscriminator

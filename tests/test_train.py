@@ -167,6 +167,7 @@ def test_masked_mean_ignores_padding():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_train_step_runs_and_updates(synthetic_samples, small_cfg):
     cfg = tiny_cfg(small_cfg)
     packed = batching.pack_graphs(synthetic_samples[:2], cfg)[0]
@@ -260,6 +261,7 @@ def test_cosine_lr_matches_torch_scheduler(small_cfg):
         sched.step()
 
 
+@pytest.mark.heavy  # full-step CPU compile (>100 s; core tier excludes)
 def test_set_g_lr_flows_into_update(synthetic_samples, small_cfg):
     """The injected hyperparameter actually drives the Adam update size."""
     from building_gan_tpu.train.state import set_g_lr
