@@ -1,0 +1,254 @@
+"""Analytic roofline floor for the WGAN-GP train step (VERDICT r3 missing #1).
+
+Derives, from the config's layer schedule alone, the MINIMUM work one train
+step must do per grid cell — MXU MACs, VPU elementwise ops, transcendentals,
+and HBM bytes — and divides by the chip's MEASURED attainable peaks
+(`scripts/roofline_peaks.py`) to get the attainable-max step time and
+nodes/sec.  `bench.py` publishes `roofline = {..., roofline_pct}` in its
+detail so "matching or beating" is adjudicable against a ceiling, not a vibe.
+
+Floor rules (all chosen to UNDERcount work, so the ceiling is optimistic and
+`roofline_pct` is honest):
+
+- GEMMs: exactly cin*cout MACs per cell (+2 columns for the folded GAT
+  attention scores); backward = 3x fwd MACs (dgrad + wgrad), standard AD.
+- HBM: each layer reads its input once and writes its output once at the
+  compute dtype (2 bytes); perfect producer/consumer fusion assumed —
+  stencil neighbor reads, norm-stats second pass, weights, and optimizer
+  traffic are all counted FREE.  Backward = 2x fwd bytes (grad stream +
+  activation re-read for wgrad).
+- VPU: only irreducible elementwise math per element — the 7-tap stencil
+  accumulate (mul+add per tap), GraphNorm stats MACs + apply, activation,
+  dropout mask+scale; attention-plane glue counted per CELL (not per
+  channel).  Backward = 2x fwd VPU ops (jvp + transpose of each
+  elementwise op).
+- Transcendentals (exp/log/cos — the VPU's slow path, ~25x a mul on v5e as
+  measured): GAT softmax exps, Box-Muller z, Gumbel noise, softmaxes.
+
+Traversal multipliers per step (reference semantics, trainer.py:459-502,
+N_CRITIC=5): every critic iteration runs G fwd (stop-grad) + D on fake/real/
+interpolated + the GP double-backward; the generator update runs G fwd/bwd +
+D fwd + D input-grad.  In fwd/bwd-equivalents of one network traversal:
+
+    G: 6 fwd + 1 bwd                  (5 stop-grad fwds + update fwd/bwd)
+    D: 16 fwd + 21 bwd-equivalents    (3 fwd/iter + inner input-grad +
+                                       fake/real reverse + ~2x for the
+                                       GP branch's reverse-over-reverse,
+                                       + fwd/bwd in the G update)
+
+The D backward multiplier (4/iter) is the fuzziest constant here; it is
+cross-checked against XLA's own cost analysis in
+`tests/test_roofline.py::test_floor_flops_vs_xla_cost_analysis`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Attainable peaks measured ON THIS HOST's tunneled v5e-1 chip with
+# scripts/roofline_peaks.py (real XLA kernels, not datasheet numbers;
+# measurement of record in docs/PERF.md §13.1).  Re-run the script and
+# update when the backend changes.
+MEASURED_PEAKS_V5E = {
+    "hbm_gbps": 661.4,  # bf16 stream read+write (datasheet 819 GB/s)
+    "vpu_gops": 754.5,  # f32 fma chain (fma = 2 ops), HBM-resident
+    "trans_gops": 169.1,  # fused exp() chain
+    "mxu_tflops": 186.2,  # bf16 8192^3 matmul chain (datasheet 197)
+}
+
+
+@dataclass
+class Work:
+    """Per-cell work totals (one grid cell through the whole step)."""
+
+    mxu_macs: float = 0.0
+    vpu_ops: float = 0.0
+    trans_ops: float = 0.0
+    hbm_bytes: float = 0.0
+
+    def __iadd__(self, other):
+        self.mxu_macs += other.mxu_macs
+        self.vpu_ops += other.vpu_ops
+        self.trans_ops += other.trans_ops
+        self.hbm_bytes += other.hbm_bytes
+        return self
+
+    def scaled(self, f: float) -> "Work":
+        return Work(
+            self.mxu_macs * f, self.vpu_ops * f, self.trans_ops * f, self.hbm_bytes * f
+        )
+
+
+ITEMSIZE = 2.0  # bf16 compute dtype
+
+
+def _dense(cin: int, cout: int, norm_act: bool = True) -> Work:
+    """Dense (+LayerNorm+LeakyReLU for MLPBlock) per cell, forward."""
+    w = Work(mxu_macs=cin * cout, hbm_bytes=ITEMSIZE * (cin + cout))
+    if norm_act:
+        # LayerNorm: 2 stat MACs + 2 apply ops; LeakyReLU: 2 (cmp+select*mul)
+        w.vpu_ops += 6 * cout
+    return w
+
+
+def _gat_layer(cin: int, cout: int, K: int, dropout: bool = True) -> Work:
+    """One hourglass GAT conv + GraphNorm + ReLU + Dropout per cell, fwd."""
+    w = Work()
+    # GEMM with 2 folded attention columns (grid_layers.GridGATConv)
+    w.mxu_macs += cin * (cout + 2)
+    w.hbm_bytes += ITEMSIZE * (cin + cout)
+    # stencil softmax-weighted accumulate: 7 taps x (mul+add) per channel
+    w.vpu_ops += 14 * cout
+    # attention plane per CELL: LeakyReLU + masking + softmax glue on 7
+    # scalars (~8 ops each) + 7 softmax exps
+    w.vpu_ops += 56
+    w.trans_ops += 7
+    # GraphNorm: 3 stat MACs/elem (x*m, x*x*m accumulate) + 2 apply ops;
+    # keyed apply rides the MXU (joint one-hot dot, K buildings x 2C table)
+    w.vpu_ops += 5 * cout
+    w.mxu_macs += K * 2 * cout
+    # ReLU + dropout (compare + select*scale)
+    w.vpu_ops += (1 + 3) * cout if dropout else cout
+    return w
+
+
+def _hourglass_channels(hidden: int, repeat: int) -> list:
+    chans, c = [], hidden
+    for _ in range(repeat):
+        c //= 2
+        chans.append(c)
+    for _ in range(repeat):
+        c *= 2
+        chans.append(c)
+    return chans
+
+
+def generator_fwd_work(cfg) -> Work:
+    """One generator forward, per cell (models/grid_models.py schedule)."""
+    K = 6  # graphs per slot (bench multipack); callers may rescale
+    w = Work()
+    # type-matched pooling readback: (B,R,KT)x(B,KT,C) dot on the MXU
+    kt = K * 7
+    local_f = 17
+    w.mxu_macs += kt * local_f
+    w.hbm_bytes += ITEMSIZE * local_f
+    # matched encoder MLP stack: 17 -> 128 x (1+LOCAL_GRAPH_ENCODER_REPEAT)
+    h = cfg.LOCAL_ENCODER_HIDDEN_DIM
+    w += _dense(local_f, h)
+    for _ in range(cfg.LOCAL_GRAPH_ENCODER_REPEAT):
+        w += _dense(h, h)
+    # input concat [matched 128, voxel_x 12, z 128] -> MLP encoder stack
+    cin = h + 12 + cfg.Z_DIM
+    g = cfg.GENERATOR_HIDDEN_DIM
+    w += _dense(cin, g)
+    for _ in range(cfg.GENERATOR_MLP_ENCODER_REPEAT):
+        w += _dense(g, g)
+    # hourglass
+    c = g
+    for ch in _hourglass_channels(g, cfg.GENERATOR_ENCODER_REPEAT):
+        w += _gat_layer(c, ch, K)
+        c = ch
+    # decoder: concat 524 -> 128,64,32,16 -> 7
+    cin = c + g + h + 12 + cfg.Z_DIM
+    for feat in (g, g // 2, g // 4, g // 8):
+        w += _dense(cin, feat)
+        cin = feat
+    w += _dense(cin, 7, norm_act=False)
+    # ST-Gumbel head: gumbel noise (log(-log u): 2 trans) + softmax (1 exp)
+    # + argmax/one-hot glue (~4 ops), all per class channel
+    w.trans_ops += 3 * 7
+    w.vpu_ops += 4 * 7
+    # z draw amortized per G traversal: 128 normals via paired Box-Muller
+    # (1 cos/sin + 0.5 log + 0.5 sqrt per normal ~= 2 trans) + glue
+    w.trans_ops += 2 * cfg.Z_DIM
+    w.vpu_ops += 2 * cfg.Z_DIM
+    return w
+
+
+def discriminator_fwd_work(cfg) -> Work:
+    """One critic forward, per cell."""
+    K = 6
+    w = Work()
+    kt = K * 7
+    local_f = 17
+    w.mxu_macs += kt * local_f
+    w.hbm_bytes += ITEMSIZE * (local_f + 12 + 7)
+    d = cfg.DISCRIMINATOR_HIDDEN_DIM
+    cin = local_f + 12 + 7
+    w += _dense(cin, d, norm_act=False)
+    w.vpu_ops += d  # relu
+    w += _dense(d, d, norm_act=False)
+    w.vpu_ops += d
+    c = d
+    for ch in _hourglass_channels(d, cfg.DISCRIMINATOR_ENCODER_REPEAT):
+        w += _gat_layer(c, ch, K)
+        c = ch
+    for feat in (d // 2, d // 4, d // 8):
+        w += _dense(c, feat, norm_act=False)
+        w.vpu_ops += feat
+        c = feat
+    w += _dense(c, 1, norm_act=False)
+    return w
+
+
+# traversal multipliers (module docstring): fwd-equivalents of one traversal
+G_FWD, G_BWD = 6.0, 1.0
+D_FWD, D_BWD = 16.0, 21.0
+# backward cost of one traversal, relative to its forward, per resource
+BWD_MXU, BWD_VPU, BWD_HBM, BWD_TRANS = 3.0, 2.0, 2.0, 0.0
+
+
+def step_work_per_cell(cfg) -> Work:
+    """Total per-cell work for ONE full WGAN-GP train step (N_CRITIC inside)."""
+    gf = generator_fwd_work(cfg)
+    df = discriminator_fwd_work(cfg)
+    total = Work()
+    for fwd, n_fwd, n_bwd in ((gf, G_FWD, G_BWD), (df, D_FWD, D_BWD)):
+        total += fwd.scaled(n_fwd)
+        total += Work(
+            fwd.mxu_macs * BWD_MXU,
+            fwd.vpu_ops * BWD_VPU,
+            fwd.trans_ops * BWD_TRANS,
+            fwd.hbm_bytes * BWD_HBM,
+        ).scaled(n_bwd)
+    # GP interpolation + grad-norm reduce on the 7-channel label plane x5
+    total.vpu_ops += 5 * (3 * 7 + 10)
+    return total
+
+
+def attainable(cfg, cells_per_step: int, real_nodes: int, peaks: dict = None) -> dict:
+    """Floor times per resource + attainable-max nodes/sec for this config.
+
+    cells_per_step: slots x cells-per-slot (padding INCLUDED — the dense
+    layout must move padded cells too, which is exactly why fill% matters).
+    real_nodes: non-padding voxel nodes per step (the metric denominator).
+    """
+    peaks = peaks or MEASURED_PEAKS_V5E
+    w = step_work_per_cell(cfg).scaled(float(cells_per_step))
+    t_mxu_ms = w.mxu_macs * 2.0 / (peaks["mxu_tflops"] * 1e12) * 1e3
+    t_vpu_ms = w.vpu_ops / (peaks["vpu_gops"] * 1e9) * 1e3
+    t_trans_ms = w.trans_ops / (peaks["trans_gops"] * 1e9) * 1e3
+    t_hbm_ms = w.hbm_bytes / (peaks["hbm_gbps"] * 1e9) * 1e3
+    # perfect-overlap roofline: the step can't be faster than its slowest
+    # resource; VPU and transcendentals share the vector unit, so they ADD
+    floor_ms = max(t_mxu_ms, t_vpu_ms + t_trans_ms, t_hbm_ms)
+    return {
+        "floor_ms": round(floor_ms, 2),
+        "t_mxu_ms": round(t_mxu_ms, 2),
+        "t_vpu_ms": round(t_vpu_ms, 2),
+        "t_trans_ms": round(t_trans_ms, 2),
+        "t_hbm_ms": round(t_hbm_ms, 2),
+        "binding_resource": (
+            "vpu+trans"
+            if t_vpu_ms + t_trans_ms >= max(t_mxu_ms, t_hbm_ms)
+            else ("hbm" if t_hbm_ms >= t_mxu_ms else "mxu")
+        ),
+        "attainable_nodes_per_sec": round(real_nodes / (floor_ms / 1e3), 0),
+        "work_per_cell": {
+            "mxu_macs": round(step_work_per_cell(cfg).mxu_macs),
+            "vpu_ops": round(step_work_per_cell(cfg).vpu_ops),
+            "trans_ops": round(step_work_per_cell(cfg).trans_ops),
+            "hbm_bytes": round(step_work_per_cell(cfg).hbm_bytes),
+        },
+        "peaks": peaks,
+    }

@@ -1,0 +1,79 @@
+"""Tests for the analytic roofline floor (utils/roofline.py).
+
+The floor is an analytic model, so these tests pin its structure (linearity,
+schedule, resource accounting) and cross-check its FLOP total against the
+XLA cost analysis recorded from the real compiled step (docs/PERF.md §1:
+2.64 TFLOP for the full 512-building step) — the two count different things
+(XLA counts as-implemented ops incl. one-hot einsums and metrics; the floor
+counts irreducible layer MACs with AD multipliers), so the assertion is an
+order-of-magnitude bracket, not equality.
+"""
+
+import pytest
+
+from building_gan_tpu.config import Configuration
+from building_gan_tpu.utils import roofline as R
+
+CELLS = 105 * 11 * 12 * 12  # bench workload: 105 slots x (11,12,12)
+REAL_NODES = 141_243
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Configuration()
+
+
+def test_floor_positive_and_consistent(cfg):
+    out = R.attainable(cfg, CELLS, REAL_NODES)
+    assert out["floor_ms"] > 0
+    assert out["floor_ms"] == max(
+        out["t_mxu_ms"], out["t_vpu_ms"] + out["t_trans_ms"], out["t_hbm_ms"]
+    )
+    # floor_ms is rounded to 2dp in the dict; attainable uses the exact value
+    assert out["attainable_nodes_per_sec"] == pytest.approx(
+        REAL_NODES / (out["floor_ms"] / 1e3), rel=1e-3
+    )
+
+
+def test_floor_scales_linearly_with_cells(cfg):
+    a = R.attainable(cfg, CELLS, REAL_NODES)
+    b = R.attainable(cfg, 2 * CELLS, REAL_NODES)
+    assert b["floor_ms"] == pytest.approx(2 * a["floor_ms"], rel=0.02)
+
+
+def test_hourglass_channel_schedule():
+    assert R._hourglass_channels(128, 7) == [64, 32, 16, 8, 4, 2, 1, 2, 4, 8, 16, 32, 64, 128]
+    assert R._hourglass_channels(64, 3) == [32, 16, 8, 16, 32, 64]
+
+
+def test_generator_heavier_than_discriminator(cfg):
+    g = R.generator_fwd_work(cfg)
+    d = R.discriminator_fwd_work(cfg)
+    # G is 128-ch with 14 conv layers vs D's 64-ch with 6: every resource
+    # should reflect that
+    assert g.mxu_macs > 2 * d.mxu_macs
+    assert g.vpu_ops > 2 * d.vpu_ops
+    assert g.hbm_bytes > 2 * d.hbm_bytes
+
+
+def test_flops_bracket_vs_xla_cost_analysis(cfg):
+    """Analytic MXU FLOPs must land within a factor ~2.5 of the FLOPs XLA's
+    own cost analysis reported for the real compiled step (docs/PERF.md §1:
+    2.64 TFLOP; bench detail `xla_flops_per_step` counts the fori body once
+    at ~0.49 TFLOP).  The floor deliberately undercounts (module docstring),
+    so it must sit BELOW the XLA figure but within the bracket."""
+    w = R.step_work_per_cell(cfg).scaled(float(CELLS))
+    analytic_tflop = w.mxu_macs * 2.0 / 1e12
+    xla_tflop = 2.64
+    assert analytic_tflop < xla_tflop * 1.1
+    assert analytic_tflop > xla_tflop / 2.5
+
+
+def test_fill_only_changes_real_node_rate(cfg):
+    """Padding enters via cells_per_step; the attainable nodes/s at equal
+    cells but fewer real nodes must drop proportionally."""
+    a = R.attainable(cfg, CELLS, REAL_NODES)
+    b = R.attainable(cfg, CELLS, REAL_NODES // 2)
+    assert b["attainable_nodes_per_sec"] == pytest.approx(
+        a["attainable_nodes_per_sec"] / 2, rel=1e-3
+    )
