@@ -185,6 +185,16 @@ class Configuration:
     GRID_BUCKETS: Tuple[Tuple[int, int, int], ...] | None = None
     # layout: "grid" (dense stencil fast path) or "edges" (general fallback)
     LAYOUT: str = "grid"
+    # Pack the dataset once and keep every batch device-resident: epochs
+    # reshuffle only the BATCH ORDER (composition is frozen after epoch 1)
+    # and no host->device transfer happens after warmup.  Two reasons to
+    # turn this on for long runs: (a) per-step transfer time disappears,
+    # (b) the tunneled PJRT client on this host leaks host RAM roughly
+    # 1:1 with bytes transferred (reproduced with a bare device_put loop;
+    # TRAINING.md "ref10k OOM post-mortem"), which OOM-kills multi-hundred-
+    # epoch runs at reference scale.  Costs device HBM (~25 MB per packed
+    # 512-building batch) and the per-epoch composition reshuffle.
+    DEVICE_RESIDENT_DATA: bool = False
 
     # dtype policy: parameters/optimizer in f32, activations bf16 on the MXU.
     COMPUTE_DTYPE: str = "bfloat16"

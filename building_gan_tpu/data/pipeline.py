@@ -148,6 +148,8 @@ class PackedLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.n_device_batches = n_device_batches
+        self.device_resident = bool(getattr(cfg, "DEVICE_RESIDENT_DATA", False))
+        self._device_epoch: Optional[list] = None  # device-put packed batches
         if cfg.LAYOUT == "grid":
             from . import grid as gridlib
 
@@ -219,6 +221,24 @@ class PackedLoader:
         return batching.stack_packs(group)
 
     def __iter__(self):
+        if self.device_resident:
+            # Freeze composition after the first epoch; reshuffle only the
+            # batch order.  No host->device transfer after warmup — see
+            # cfg.DEVICE_RESIDENT_DATA for why (tunnel-client host-RAM leak
+            # per transfer + per-step transfer latency).
+            if self._device_epoch is None:
+                import jax
+
+                self._device_epoch = [jax.device_put(b) for b in self._iter_host()]
+            order = np.arange(len(self._device_epoch))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                yield self._device_epoch[i]
+            return
+        yield from self._iter_host()
+
+    def _iter_host(self):
         order = np.arange(len(self.samples))
         if self.shuffle:
             self.rng.shuffle(order)

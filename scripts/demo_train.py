@@ -34,6 +34,9 @@ def main():
                     help="critic dtype inside the GP branch: compute (default) | float32")
     ap.add_argument("--seed", type=int, default=None,
                     help="override config SEED (default 777) for repeat runs")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="pack once + keep batches on device (long runs on the "
+                         "tunneled backend: avoids its per-transfer host-RAM leak)")
     args = ap.parse_args()
 
     from building_gan_tpu.config import Configuration
@@ -56,6 +59,7 @@ def main():
         BATCH_LEVEL_MATCHING=args.batch_level_quirks,
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
         PRNG_IMPL=args.prng,
+        DEVICE_RESIDENT_DATA=args.device_resident,
         **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
         **({"GP_DTYPE": args.gp_dtype} if args.gp_dtype else {}),
         **({"SEED": args.seed} if args.seed is not None else {}),

@@ -146,3 +146,40 @@ def test_create_dataset_end_to_end(tmp_path, small_cfg):
     assert len(files) == 6  # 3 local + 3 voxel
     local = preprocess.load_local(os.path.join(cfg.SAVE_DATA_PATH, "000001_local.npz"))
     assert local.x.shape[1] == 17
+
+
+def test_device_resident_loader_freezes_composition(synthetic_samples, small_cfg):
+    """DEVICE_RESIDENT_DATA: packs once, reuses device batches, reshuffles
+    only the batch order across epochs (mitigation for the tunneled
+    backend's per-transfer host-RAM leak — config.py DEVICE_RESIDENT_DATA)."""
+    import jax
+
+    from building_gan_tpu.data.pipeline import PackedLoader
+
+    cfg = small_cfg.replace(
+        LAYOUT="grid",
+        GRID_SHAPE=(10, 8, 8),
+        GRID_BATCH=2,
+        GRID_LOCAL_NODES=64,
+        PACK_GRAPHS=2,
+        DEVICE_RESIDENT_DATA=True,
+    )
+    loader = PackedLoader(synthetic_samples, cfg, shuffle=True, seed=3)
+    ep1 = list(loader)
+    ep2 = list(loader)
+    assert len(ep1) == len(ep2) == loader.num_packs_per_epoch()
+    # same batch OBJECTS both epochs (no repack, no re-transfer) ...
+    assert {id(b) for b in ep1} == {id(b) for b in ep2}
+    # ... living on device
+    assert all(isinstance(b.x, jax.Array) for b in ep1)
+    # and the order reshuffles eventually (3 epochs: astronomically unlikely
+    # to all match for >= 4 batches under a working shuffle)
+    orders = [tuple(id(b) for b in ep1), tuple(id(b) for b in ep2),
+              tuple(id(b) for b in loader)]
+    assert len(set(orders)) > 1
+    # host mode unchanged: fresh packs every epoch
+    host = PackedLoader(
+        synthetic_samples, cfg.replace(DEVICE_RESIDENT_DATA=False), shuffle=True
+    )
+    h1 = list(host)
+    assert {id(b) for b in h1}.isdisjoint({id(b) for b in host})
