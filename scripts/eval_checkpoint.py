@@ -25,7 +25,15 @@ def main():
     ap.add_argument("--log-dir", required=True)
     ap.add_argument("--grid-batch", type=int, default=512)
     ap.add_argument("--prng", default="auto")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu — evaluate a "
+                         "checkpoint when the TPU tunnel is down)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from building_gan_tpu.config import Configuration
     from building_gan_tpu.data.pipeline import GraphDataLoaders
