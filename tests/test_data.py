@@ -183,3 +183,38 @@ def test_device_resident_loader_freezes_composition(synthetic_samples, small_cfg
     )
     h1 = list(host)
     assert {id(b) for b in h1}.isdisjoint({id(b) for b in host})
+
+
+def test_buckets_compose_with_multipack(synthetic_samples, small_cfg):
+    """GRID_BUCKETS + GRID_SLOT_GRAPHS > 1 (VERDICT r3 weak #4): each bucket's
+    group bin-packs into slots of ITS shape; every building places exactly
+    once and batches carry the multipack gid planes."""
+    from building_gan_tpu.data.pipeline import PackedLoader
+
+    cfg = small_cfg.replace(
+        LAYOUT="grid",
+        GRID_SHAPE=(10, 8, 8),
+        GRID_BUCKETS=((6, 6, 6), (10, 8, 8)),
+        GRID_SLOT_GRAPHS=2,
+        GRID_BATCH=2,
+        GRID_LOCAL_NODES=128,
+        PACK_GRAPHS=2,
+    )
+    loader = PackedLoader(synthetic_samples, cfg, shuffle=False, seed=0)
+    batches = list(loader)
+    assert batches, "no batches produced"
+    shapes = {tuple(b.mask.shape[1:]) for b in batches}
+    assert shapes <= set(cfg.GRID_BUCKETS), shapes
+    # every building placed exactly once across the epoch
+    placed = sum(float(b.graph_mask.sum()) for b in batches)
+    assert placed == len(synthetic_samples)
+    # multipack container: gid planes present and consistent with the mask
+    import numpy as np
+
+    for b in batches:
+        assert b.gid is not None
+        assert b.graph_mask.ndim == 2  # (B, K)
+        # cells only carry gid where the mask is on
+        assert np.all((b.gid > 0) <= (b.mask > 0))
+    # composition actually multipacks somewhere: at least one slot holds 2
+    assert any(float(b.graph_mask[:, 1:].sum()) > 0 for b in batches)
