@@ -26,22 +26,37 @@ from flax import serialization
 
 STATE_FILE = "states.msgpack"
 META_FILE = "states.meta.json"
+# periodic crash-recovery checkpoint (config.CKPT_LATEST_INTERVAL) — the
+# best-gated file above matches reference semantics (trainer.py:714-745);
+# "latest" exists because a crash between best updates otherwise loses every
+# epoch since the last best (the round-4 ref10k OOM lost 150: TRAINING.md)
+LATEST_STATE_FILE = "states_latest.msgpack"
+LATEST_META_FILE = "states_latest.meta.json"
 
 
-def save_states(log_dir: str, state, meta: dict) -> None:
-    """Write checkpoint (state pytree + JSON metadata) atomically."""
+def _write(log_dir: str, state, meta: dict, state_file: str, meta_file: str) -> None:
     os.makedirs(log_dir, exist_ok=True)
     state = jax.device_get(state)
     data = serialization.to_bytes(state)
-    tmp = os.path.join(log_dir, STATE_FILE + ".tmp")
+    tmp = os.path.join(log_dir, state_file + ".tmp")
     with open(tmp, "wb") as f:
         f.write(data)
-    os.replace(tmp, os.path.join(log_dir, STATE_FILE))
+    os.replace(tmp, os.path.join(log_dir, state_file))
 
-    tmp = os.path.join(log_dir, META_FILE + ".tmp")
+    tmp = os.path.join(log_dir, meta_file + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
-    os.replace(tmp, os.path.join(log_dir, META_FILE))
+    os.replace(tmp, os.path.join(log_dir, meta_file))
+
+
+def save_states(log_dir: str, state, meta: dict) -> None:
+    """Write the best-gated checkpoint (state pytree + JSON meta) atomically."""
+    _write(log_dir, state, meta, STATE_FILE, META_FILE)
+
+
+def save_latest(log_dir: str, state, meta: dict) -> None:
+    """Write the periodic crash-recovery checkpoint atomically."""
+    _write(log_dir, state, meta, LATEST_STATE_FILE, LATEST_META_FILE)
 
 
 def _migrate_opt_g(raw: dict, template) -> dict:
@@ -71,14 +86,19 @@ def _migrate_opt_g(raw: dict, template) -> dict:
     return out
 
 
-def load_states(log_dir: str, state_template) -> Optional[Tuple[object, dict]]:
+def load_states(
+    log_dir: str,
+    state_template,
+    state_file: str = STATE_FILE,
+    meta_file: str = META_FILE,
+) -> Optional[Tuple[object, dict]]:
     """Restore (state, meta) from ``log_dir`` or None if no checkpoint.
 
     Transparently migrates round-1 checkpoints whose ``opt_g`` predates the
     ``inject_hyperparams`` wrapper (see :func:`_migrate_opt_g`).
     """
-    path = os.path.join(log_dir, STATE_FILE)
-    meta_path = os.path.join(log_dir, META_FILE)
+    path = os.path.join(log_dir, state_file)
+    meta_path = os.path.join(log_dir, meta_file)
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
@@ -94,6 +114,11 @@ def load_states(log_dir: str, state_template) -> Optional[Tuple[object, dict]]:
         with open(meta_path) as f:
             meta = json.load(f)
     return state, meta
+
+
+def load_latest(log_dir: str, state_template) -> Optional[Tuple[object, dict]]:
+    """Restore the periodic crash-recovery checkpoint, or None."""
+    return load_states(log_dir, state_template, LATEST_STATE_FILE, LATEST_META_FILE)
 
 
 def exists(log_dir: str) -> bool:

@@ -195,6 +195,13 @@ class Configuration:
     # epoch runs at reference scale.  Costs device HBM (~25 MB per packed
     # 512-building batch) and the per-epoch composition reshuffle.
     DEVICE_RESIDENT_DATA: bool = False
+    # Periodic crash-recovery checkpoint every N epochs (states_latest.*),
+    # in addition to the reference's best-F1-gated save.  0 = off (the
+    # reference-parity default).  On resume the trainer prefers whichever
+    # checkpoint's epoch cursor is further along — a crash between best
+    # updates then costs at most N epochs instead of everything since the
+    # last best (TRAINING.md "ref10k OOM post-mortem").
+    CKPT_LATEST_INTERVAL: int = 0
 
     # dtype policy: parameters/optimizer in f32, activations bf16 on the MXU.
     COMPUTE_DTYPE: str = "bfloat16"

@@ -119,13 +119,26 @@ class Trainer:
         else:
             self.eval_step = jax.jit(make_eval_step(cfg, generator, discriminator))
 
-        # auto-resume (reference trainer.py:628-636)
+        # auto-resume (reference trainer.py:628-636).  When a periodic
+        # "latest" checkpoint (CKPT_LATEST_INTERVAL) is AHEAD of the
+        # best-gated one, prefer it: resuming best-gated weights at a later
+        # epoch cursor loses every epoch since the last best update (the
+        # round-4 ref10k OOM lost 150 epochs that way — TRAINING.md).
         self.meta = {"epoch_start": 1, "best_f1_score": 0.0}
         restored = ckpt.load_states(self.log_dir, self.state)
+        latest = ckpt.load_latest(self.log_dir, self.state)
+        if latest is not None and (
+            restored is None
+            or int(latest[1].get("epoch_start", 0))
+            > int(restored[1].get("epoch_start", 0))
+        ):
+            restored, which = latest, "latest"
+        else:
+            which = "best"
         if restored is not None:
             self.state, meta = restored
             self.meta.update(meta)
-            print(f"Loaded states from {self.log_dir}")
+            print(f"Loaded {which} states from {self.log_dir}")
 
     # ------------------------------------------------------------------
     @runtime_calculator
@@ -290,6 +303,19 @@ class Trainer:
             else:
                 if not self.sanity_checking and ckpt.exists(self.log_dir):
                     ckpt.patch_epoch_start(self.log_dir, epoch)  # quirk Q11
+
+            interval = int(getattr(cfg, "CKPT_LATEST_INTERVAL", 0) or 0)
+            if interval and not self.sanity_checking and epoch % interval == 0:
+                ckpt.save_latest(
+                    self.log_dir,
+                    self.state,
+                    {
+                        "epoch_start": epoch + 1,
+                        "epoch_end": epoch_end,
+                        "best_f1_score": best_f1_score,
+                        "is_latest": True,
+                    },
+                )
 
         writer.close()
 

@@ -34,6 +34,9 @@ def main():
                     help="critic dtype inside the GP branch: compute (default) | float32")
     ap.add_argument("--seed", type=int, default=None,
                     help="override config SEED (default 777) for repeat runs")
+    ap.add_argument("--ckpt-latest-interval", type=int, default=25,
+                    help="crash-recovery checkpoint every N epochs (0 = off; "
+                         "best-gated saves always on)")
     ap.add_argument("--device-resident", action="store_true",
                     help="pack once + keep batches on device (long runs on the "
                          "tunneled backend: avoids its per-transfer host-RAM leak)")
@@ -60,6 +63,7 @@ def main():
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
         PRNG_IMPL=args.prng,
         DEVICE_RESIDENT_DATA=args.device_resident,
+        CKPT_LATEST_INTERVAL=args.ckpt_latest_interval,
         **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
         **({"GP_DTYPE": args.gp_dtype} if args.gp_dtype else {}),
         **({"SEED": args.seed} if args.seed is not None else {}),

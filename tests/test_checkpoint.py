@@ -116,3 +116,33 @@ def test_torch_converter_discriminator_roundtrip(synthetic_samples, small_cfg):
     back = torch_to_discriminator_params(sd, cfg, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_ckpt_roundtrip_and_preference(tmp_path, synthetic_samples, small_cfg):
+    """CKPT_LATEST_INTERVAL crash recovery: save_latest/load_latest round-trip,
+    and the resume preference picks whichever cursor is further along (the
+    trainer mirrors this logic in __init__ — TRAINING.md OOM post-mortem)."""
+    cfg, state = _make_state(synthetic_samples, small_cfg)
+    d = str(tmp_path)
+    ckpt.save_states(d, state, {"epoch_start": 100, "best_f1_score": 0.5})
+    # mutate one param so the two checkpoints are distinguishable
+    newer = state.replace(
+        params_g=jax.tree.map(lambda a: a + 1.0, state.params_g)
+    )
+    ckpt.save_latest(d, newer, {"epoch_start": 250, "best_f1_score": 0.5, "is_latest": True})
+
+    best, best_meta = ckpt.load_states(d, state)
+    late, late_meta = ckpt.load_latest(d, state)
+    assert best_meta["epoch_start"] == 100 and late_meta["epoch_start"] == 250
+    a0 = jax.tree.leaves(best.params_g)[0]
+    b0 = jax.tree.leaves(late.params_g)[0]
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(a0) + 1.0, rtol=1e-6)
+
+    # the preference rule (as implemented in Trainer.__init__)
+    pick = late if late_meta["epoch_start"] > best_meta["epoch_start"] else best
+    assert pick is late
+    # and with a STALE latest, best wins
+    ckpt.save_latest(d, newer, {"epoch_start": 50, "best_f1_score": 0.5})
+    _, late_meta = ckpt.load_latest(d, state)
+    pick = "latest" if late_meta["epoch_start"] > best_meta["epoch_start"] else "best"
+    assert pick == "best"
