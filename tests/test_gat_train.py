@@ -215,7 +215,8 @@ def test_fused_train_step_runs_and_updates(synthetic_samples, small_cfg):
     s1, m = step(state, gb, jax.random.key(7))
 
     for k, v in m.items():
-        assert np.isfinite(float(v)), (k, v)
+        # metrics include the (32,) per-graph F1 histogram — check elementwise
+        assert np.all(np.isfinite(np.asarray(v))), (k, v)
     moved_g = any(
         not np.allclose(np.array(a), b)
         for a, b in zip(jax.tree.leaves(s1.params_g), jax.tree.leaves(p_g0))
