@@ -192,3 +192,24 @@ def test_trainer_grid_buckets(processed_root, tmp_path):
     trainer.train()
     out = trainer.test(num_samples_to_viz=0)
     assert 0.0 <= out["f1"] <= 1.0
+
+
+def test_grid_buckets_compose_with_multipack(processed_root):
+    """Buckets + 3D bin packing compose (round 4): each bucket's group
+    bin-packs into slots of ITS shape; every building places exactly once
+    and the batches carry multipack gid planes."""
+    cfg = processed_root.replace(
+        LAYOUT="grid",
+        GRID_BATCH=4,
+        GRID_LOCAL_NODES=128,
+        GRID_SHAPE=(10, 8, 8),
+        GRID_BUCKETS=((5, 6, 6), (10, 8, 8)),
+        GRID_SLOT_GRAPHS=2,
+    )
+    loaders = GraphDataLoaders(cfg)
+    packs = list(loaders.train_dataloader)
+    shapes = {p.mask.shape[1:4] for p in packs}
+    assert shapes <= {(5, 6, 6), (10, 8, 8)}
+    total = sum(int(p.graph_mask.sum()) for p in packs)
+    assert total == len(loaders.train_indices)
+    assert all(p.gid is not None and p.graph_mask.ndim == 2 for p in packs)
