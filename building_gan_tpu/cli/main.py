@@ -43,6 +43,14 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"], help="COMPUTE_DTYPE")
     p.add_argument("--slot-graphs", type=int, default=None, help="buildings bin-packed per grid slot (GRID_SLOT_GRAPHS)")
     p.add_argument("--grid-local-nodes", type=int, default=None, help="packed local-node width per slot (GRID_LOCAL_NODES)")
+    p.add_argument("--grid-buckets", default=None,
+                   help="comma-separated FxYxX shapes, e.g. 6x6x6,11x12x12 — route each "
+                        "building to its smallest fitting bucket (GRID_BUCKETS; composes "
+                        "with --slot-graphs bin packing)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="pack once + keep batches on device across epochs (DEVICE_RESIDENT_DATA)")
+    p.add_argument("--ckpt-latest-interval", type=int, default=None,
+                   help="crash-recovery checkpoint every N epochs (CKPT_LATEST_INTERVAL; 0 = off)")
 
 
 def _build_config(args, sanity: bool = False):
@@ -87,6 +95,15 @@ def _build_config(args, sanity: bool = False):
         overrides["GRID_SLOT_GRAPHS"] = args.slot_graphs
     if getattr(args, "grid_local_nodes", None) is not None:
         overrides["GRID_LOCAL_NODES"] = args.grid_local_nodes
+    if getattr(args, "grid_buckets", None):
+        overrides["GRID_BUCKETS"] = tuple(
+            tuple(int(d) for d in shape.split("x"))
+            for shape in args.grid_buckets.split(",")
+        )
+    if getattr(args, "device_resident", False):
+        overrides["DEVICE_RESIDENT_DATA"] = True
+    if getattr(args, "ckpt_latest_interval", None) is not None:
+        overrides["CKPT_LATEST_INTERVAL"] = args.ckpt_latest_interval
     return cfg.replace(**overrides) if overrides else cfg
 
 
