@@ -73,3 +73,25 @@ def test_viz_cli(raw_root):
     ])
     files = os.listdir(raw_root / "viz")
     assert files and files[0].endswith(".png")
+
+
+def test_build_config_flag_mapping():
+    """The round-4 train flags map onto their config fields (incl. the
+    GRID_BUCKETS shape parser)."""
+    import argparse
+
+    from building_gan_tpu.cli.main import _build_config
+
+    args = argparse.Namespace(
+        grid_buckets="6x6x6,11x12x12",
+        device_resident=True,
+        ckpt_latest_interval=25,
+        slot_graphs=6,
+        grid_local_nodes=448,
+    )
+    cfg = _build_config(args)
+    assert cfg.GRID_BUCKETS == ((6, 6, 6), (11, 12, 12))
+    assert cfg.DEVICE_RESIDENT_DATA is True
+    assert cfg.CKPT_LATEST_INTERVAL == 25
+    assert cfg.GRID_SLOT_GRAPHS == 6
+    assert cfg.GRID_LOCAL_NODES == 448
