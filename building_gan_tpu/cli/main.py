@@ -51,6 +51,11 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                    help="pack once + keep batches on device across epochs (DEVICE_RESIDENT_DATA)")
     p.add_argument("--ckpt-latest-interval", type=int, default=None,
                    help="crash-recovery checkpoint every N epochs (CKPT_LATEST_INTERVAL; 0 = off)")
+    p.add_argument("--pack-gemms", action="store_true",
+                   help="fold narrow GEMMs into MXU lanes (PACK_NARROW_GEMMS, ops/gemm_pack.py)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend BEFORE init (some hosts ignore "
+                        "JAX_PLATFORMS via sitecustomize; jax.config is authoritative)")
 
 
 def _build_config(args, sanity: bool = False):
@@ -104,6 +109,8 @@ def _build_config(args, sanity: bool = False):
         overrides["DEVICE_RESIDENT_DATA"] = True
     if getattr(args, "ckpt_latest_interval", None) is not None:
         overrides["CKPT_LATEST_INTERVAL"] = args.ckpt_latest_interval
+    if getattr(args, "pack_gemms", False):
+        overrides["PACK_NARROW_GEMMS"] = True
     return cfg.replace(**overrides) if overrides else cfg
 
 
@@ -245,6 +252,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_test)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must precede any jax backend init (all command bodies import jax
+        # lazily).  The env-var route is NOT equivalent on hosts whose
+        # sitecustomize pins jax_platforms (docs/DESIGN.md round-4 notes).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

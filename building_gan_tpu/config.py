@@ -261,6 +261,16 @@ class Configuration:
     # bandwidth-bound train step (docs/PERF.md §10).
     REMAT_HOURGLASS: bool = False
 
+    # Fold rows into MXU lanes for narrow GEMMs (ops/gemm_pack.py): the
+    # hourglass tail (channels <=64, down to 1 at the bottleneck) and the
+    # decoder MLPs under-fill 128x128 MXU tiles — the round-4 re-profile
+    # measured the step's GEMMs at 7.5x their MXU floor (docs/PERF.md
+    # §13.3 item "convolution fusion").  Packing applies kron(I_k, W)
+    # block-diagonal weights over view-reshaped (M/k, k*c) activations —
+    # identical math (off-diagonal blocks are exact zeros), ~k x fewer MXU
+    # passes.  A/B on v5e-1 at the bench workload: see docs/PERF.md §14.
+    PACK_NARROW_GEMMS: bool = False
+
     # Dtype for the critic INSIDE the gradient-penalty branch (the term that
     # is differentiated twice).  "compute" follows COMPUTE_DTYPE; "float32"
     # runs just that one critic application in f32 while everything else

@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from ..ops import stencil
 from ..ops.dropout import FastDropout
+from ..ops.gemm_pack import PackedDense, packed_matmul
 
 
 class GridGraphNorm(nn.Module):
@@ -130,6 +131,7 @@ class GridGATConv(nn.Module):
     features: int
     negative_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, mask, grid_shape=None, gid=None):
@@ -144,9 +146,14 @@ class GridGATConv(nn.Module):
         # columns.  The einsum alternative (h·att, output dim 1) lowers to a
         # VPU multiply-reduce — measured at several % of the train step
         # (docs/PERF.md §6); two extra GEMM columns are ~2% of its FLOPs and
-        # ride the otherwise-idle MXU.
+        # ride the otherwise-idle MXU.  With ``pack``, narrow layers fold
+        # rows into lanes (ops/gemm_pack.py) — the hourglass tail's GEMMs
+        # under-fill 128x128 MXU tiles otherwise (docs/PERF.md §13.3).
         wa = jnp.concatenate([W, W @ att_src, W @ att_dst], axis=1).astype(self.dtype)
-        ha = x.astype(self.dtype) @ wa
+        if self.pack:
+            ha = packed_matmul(x.astype(self.dtype), wa)
+        else:
+            ha = x.astype(self.dtype) @ wa
         h = ha[..., :C]
         a_src = ha[..., C].astype(jnp.float32)
         a_dst = ha[..., C + 1].astype(jnp.float32)
@@ -167,11 +174,13 @@ class GridGATv2Conv(nn.Module):
     features: int
     negative_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, mask, grid_shape=None, gid=None):
-        h_l = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(x)
-        h_r = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_r")(x)
+        dense = PackedDense if self.pack else nn.Dense
+        h_l = dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(x)
+        h_r = dense(self.features, use_bias=True, dtype=self.dtype, name="lin_r")(x)
         att = self.param("att", nn.initializers.glorot_uniform(), (self.features, 1))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if x.ndim == 3:
@@ -190,10 +199,12 @@ class GridGCNConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, mask, grid_shape=None, gid=None):
-        h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
+        dense = PackedDense if self.pack else nn.Dense
+        h = dense(self.features, use_bias=False, dtype=self.dtype, name="lin")(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if x.ndim == 3:
             out = stencil.stencil_gcn_flat(h, mask, grid_shape, gid=gid)
@@ -207,15 +218,17 @@ class GridGraphConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, mask, grid_shape=None, gid=None):
-        h_nbr = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_nbr")(x)
+        dense = PackedDense if self.pack else nn.Dense
+        h_nbr = dense(self.features, use_bias=False, dtype=self.dtype, name="lin_nbr")(x)
         if x.ndim == 3:
             agg = stencil.stencil_sum_flat(h_nbr, mask, grid_shape, gid=gid)
         else:
             agg = stencil.stencil_sum(h_nbr, mask, gid=gid)
-        h_self = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_self")(x)
+        h_self = dense(self.features, use_bias=True, dtype=self.dtype, name="lin_self")(x)
         return h_self + agg
 
 
@@ -236,6 +249,7 @@ class GridHourglass(nn.Module):
     dropout_rate: float = 0.2
     batch_level_graphnorm: bool = False
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False
 
     @nn.compact
     def __call__(
@@ -263,7 +277,7 @@ class GridHourglass(nn.Module):
             channels.append(c)
 
         for i, ch in enumerate(channels):
-            x = conv_cls(features=ch, dtype=self.dtype, name=f"conv_{i}")(
+            x = conv_cls(features=ch, dtype=self.dtype, pack=self.pack, name=f"conv_{i}")(
                 x, mask, grid_shape=grid_shape, gid=gid
             )
             x = GridGraphNorm(

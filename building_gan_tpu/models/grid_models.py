@@ -15,6 +15,7 @@ from flax import linen as nn
 import jax
 
 from ..config import Configuration, NUM_CLASSES
+from ..ops.gemm_pack import PackedDense
 from ..ops.gumbel import gumbel_softmax_st
 from .grid_layers import GridHourglass, grid_type_matched_pooling
 from .layers import MLPBlock
@@ -60,6 +61,11 @@ class GridVoxelGNNGenerator(nn.Module):
         # shaped again
         B = batch.x.shape[0]
         grid_shape = batch.x.shape[1:4]
+        # narrow-GEMM row folding (ops/gemm_pack.py, docs/PERF.md §13.3):
+        # the hourglass tail and decoder run thin GEMMs that under-fill
+        # 128x128 MXU tiles; pack folds rows into lanes, same math.
+        pack = getattr(cfg, "PACK_NARROW_GEMMS", False)
+        dense = PackedDense if pack else nn.Dense
         voxel_x = batch.x.reshape(B, -1, batch.x.shape[-1]).astype(dtype)
         mask = batch.mask.reshape(B, -1)
         vtype = batch.type.reshape(B, -1)
@@ -79,13 +85,15 @@ class GridVoxelGNNGenerator(nn.Module):
 
         h = matched_x
         for i in range(1 + cfg.LOCAL_GRAPH_ENCODER_REPEAT):
-            h = MLPBlock(cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, name=f"matched_enc_{i}")(h)
+            h = MLPBlock(
+                cfg.LOCAL_ENCODER_HIDDEN_DIM, dtype=dtype, pack=pack, name=f"matched_enc_{i}"
+            )(h)
         encoded_matched = h
 
         z = z.reshape(B, -1, z.shape[-1]).astype(dtype)
         x = jnp.concatenate([encoded_matched, voxel_x, z], axis=-1)
         for i in range(1 + cfg.GENERATOR_MLP_ENCODER_REPEAT):
-            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, name=f"mlp_enc_{i}")(x)
+            x = MLPBlock(cfg.GENERATOR_HIDDEN_DIM, dtype=dtype, pack=pack, name=f"mlp_enc_{i}")(x)
 
         encoded = _hourglass_cls(cfg)(
             conv_type=cfg.GENERATOR_CONV_TYPE,
@@ -94,6 +102,7 @@ class GridVoxelGNNGenerator(nn.Module):
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
             dtype=dtype,
+            pack=pack,
             name="encoder",
         )(
             x, mask, deterministic, gid, batch.graphs_per_slot, grid_shape,
@@ -103,9 +112,9 @@ class GridVoxelGNNGenerator(nn.Module):
         d = cfg.GENERATOR_HIDDEN_DIM
         out = final
         for i, feat in enumerate([d, d // 2, d // 4, d // 8]):
-            out = MLPBlock(feat, dtype=dtype, name=f"dec_{i}")(out)
+            out = MLPBlock(feat, dtype=dtype, pack=pack, name=f"dec_{i}")(out)
         # head in f32: logits feed softmax/CE/Gumbel where bf16 rounding bites
-        logits = nn.Dense(NUM_CLASSES, dtype=dtype, name="dec_out")(out)
+        logits = dense(NUM_CLASSES, dtype=dtype, name="dec_out")(out)
         logits = logits.astype(jnp.float32)
 
         key = self.make_rng("gumbel")
@@ -131,6 +140,8 @@ class GridVoxelGNNDiscriminator(nn.Module):
 
         B = batch.x.shape[0]
         grid_shape = batch.x.shape[1:4]
+        pack = getattr(cfg, "PACK_NARROW_GEMMS", False)
+        dense = PackedDense if pack else nn.Dense
         voxel_x = batch.x.reshape(B, -1, batch.x.shape[-1]).astype(dtype)
         mask = batch.mask.reshape(B, -1)
         vtype = batch.type.reshape(B, -1)
@@ -150,8 +161,8 @@ class GridVoxelGNNDiscriminator(nn.Module):
         )
 
         x = jnp.concatenate([matched_x, voxel_x, label], axis=-1)
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
-        x = nn.relu(nn.Dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
+        x = nn.relu(dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_0")(x))
+        x = nn.relu(dense(cfg.DISCRIMINATOR_HIDDEN_DIM, dtype=dtype, name="mlp_1")(x))
 
         encoded = _hourglass_cls(cfg)(
             conv_type=cfg.DISCRIMINATOR_CONV_TYPE,
@@ -160,6 +171,7 @@ class GridVoxelGNNDiscriminator(nn.Module):
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
             dtype=dtype,
+            pack=pack,
             name="encoder",
         )(
             x, mask, deterministic, gid, batch.graphs_per_slot, grid_shape,
@@ -168,9 +180,9 @@ class GridVoxelGNNDiscriminator(nn.Module):
         d = cfg.DISCRIMINATOR_HIDDEN_DIM
         out = encoded
         for i, feat in enumerate([d // 2, d // 4, d // 8]):
-            out = nn.relu(nn.Dense(feat, dtype=dtype, name=f"dec_{i}")(out))
+            out = nn.relu(dense(feat, dtype=dtype, name=f"dec_{i}")(out))
         # critic scores in f32: WGAN means/GP norms need exact accumulation
-        score = nn.Dense(1, dtype=dtype, name="dec_out")(out).astype(jnp.float32)
+        score = dense(1, dtype=dtype, name="dec_out")(out).astype(jnp.float32)
         if not cfg.USE_WGANGP:
             score = nn.sigmoid(score)
         return score.reshape((B,) + grid_shape + (1,))

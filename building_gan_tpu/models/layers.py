@@ -41,10 +41,16 @@ class MLPBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    pack: bool = False  # narrow-GEMM row folding (ops/gemm_pack.py)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+        if self.pack:
+            from ..ops.gemm_pack import PackedDense
+
+            x = PackedDense(self.features, dtype=self.dtype, name="dense")(x)
+        else:
+            x = nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 

@@ -1,0 +1,113 @@
+"""Row-folded ("packed") narrow GEMMs — MXU tile efficiency for thin layers.
+
+Why (docs/PERF.md §13.3, round-4 re-profile): the hourglass tail runs GEMMs
+with <=64 input/output channels (down to 1 at the bottleneck).  The MXU is a
+128x128 systolic array — a ``(M, 2) @ (2, 3)`` dot still streams all M rows
+through a mostly-empty tile, so the measured GEMM time sat 7.5x above the
+analytic MXU floor while the narrow tail's FLOPs are negligible.
+
+The fix is algebraic, not a kernel: fold ``k`` consecutive rows into the lane
+dimension and apply a block-diagonal weight,
+
+    reshape  (M, c)  ->  (M/k, k*c)          # a VIEW on row-major data
+    matmul   (M/k, k*c) @ kron(I_k, W)       # (k*c, k*n) block-diagonal
+    reshape  (M/k, k*n) ->  (M, n)           # view again
+
+Each output block j of row r is exactly ``x[r*k+j] @ W`` — bit-for-bit the
+same contraction (the off-diagonal blocks contribute exact zeros), but the
+MXU now sees ``k*c`` lanes in and ``k*n`` lanes out per pass and only
+``M/k`` rows.  For the 2->1(+2 att) hourglass bottleneck the pass count
+drops ~42x.  Gradients are free: the VJP of ``kron(I, W)`` sums the k
+diagonal blocks — precisely the shared-weight gradient — and the dx/dW
+GEMMs are packed too.
+
+This mirrors what the reference's narrow PyG layers could never reach: their
+scatter kernels are latency-bound regardless of width (`models.py:68-90`
+hourglass channel schedule; scatter at `models.py:144, 242`).
+
+``plan_pack`` picks k by a static MXU-pass cost model; ``packed_matmul``
+falls back to a plain dot when k == 1 (wide layers keep their layout).
+Enabled by ``Configuration.PACK_NARROW_GEMMS``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# MXU lane width: tiles are LANE x LANE; rows stream through in sublane
+# chunks, so cost ~ rows * ceil(K/LANE) * ceil(N/LANE).
+_LANE = 128
+# Bound the packed operand width: beyond a few tiles the kron weight and the
+# relayout of the activation stop paying for themselves.
+_MAX_K = 128
+
+
+def _passes(m: int, cin: int, n: int, k: int) -> int:
+    """Static MXU-pass cost model for the k-folded GEMM."""
+    return (m // k) * math.ceil(k * cin / _LANE) * math.ceil(k * n / _LANE)
+
+
+@functools.lru_cache(maxsize=None)
+def plan_pack(m: int, cin: int, n: int) -> int:
+    """Best fold factor k (divisor of m, 1 = don't pack) for a (m,cin)@(cin,n)
+    GEMM under the MXU-pass model.  Requires a strict >=2x win: marginal
+    folds don't justify the activation relayout the reshape implies."""
+    if cin >= _LANE and n >= _LANE:
+        return 1
+    base = _passes(m, cin, n, 1)
+    best_k, best_cost = 1, base
+    for k in range(2, min(_MAX_K, m) + 1):
+        if m % k:
+            continue
+        c = _passes(m, cin, n, k)
+        if c < best_cost:
+            best_k, best_cost = k, c
+    if best_cost * 2 > base:
+        return 1
+    return best_k
+
+
+def packed_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``x @ w`` with the row-fold applied when the plan says it wins.
+
+    x: (..., cin); w: (cin, n).  Exact same contraction per row — the kron
+    blocks off the diagonal multiply by literal zeros.
+    """
+    cin, n = w.shape
+    lead = x.shape[:-1]
+    m = math.prod(lead)
+    k = plan_pack(m, cin, n)
+    if k == 1:
+        return x @ w
+    xp = x.reshape(m // k, k * cin)
+    wp = jnp.kron(jnp.eye(k, dtype=w.dtype), w)
+    return (xp @ wp).reshape(lead + (n,))
+
+
+class PackedDense(nn.Module):
+    """Drop-in for ``nn.Dense`` routing through :func:`packed_matmul`.
+
+    Identical parameter names, shapes, and initializers ("kernel"/"bias",
+    lecun_normal/zeros), so checkpoints and param trees are interchangeable
+    with the nn.Dense they replace.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        dtype = x.dtype if self.dtype is None else self.dtype
+        y = packed_matmul(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y

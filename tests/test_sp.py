@@ -245,3 +245,30 @@ def test_sp_generator_compiles_with_collectives(synthetic_samples, small_cfg, sp
     assert any(
         coll in hlo for coll in ("collective-permute", "all-reduce", "all-gather")
     ), "no cross-shard collectives in the partitioned module"
+
+
+def test_sp_generator_forward_with_packed_gemms(synthetic_samples, small_cfg, sp_mesh):
+    """PACK_NARROW_GEMMS under GSPMD floor sharding: packed_matmul's row-fold
+    reshape merges (B, R) — R is the sharded axis — so GSPMD must repartition
+    without changing values.  Parity vs the unsharded packed forward."""
+    cfg = tiny_cfg(
+        small_cfg,
+        GRID_SHAPE=(8, 8, 8),
+        GRID_BATCH=2,
+        GRID_LOCAL_NODES=64,
+        PACK_GRAPHS=2,
+        COMPUTE_DTYPE="float32",
+        PACK_NARROW_GEMMS=True,
+    )
+    samples = [s for s in synthetic_samples if int(s[1].location[:, 0].max()) < 8][:2]
+    gb = gridlib.pack_grid(samples, cfg)
+
+    gen = GridVoxelGNNGenerator(configuration=cfg)
+    key = jax.random.key(0)
+    z = jax.random.normal(jax.random.key(1), gb.mask.shape + (cfg.Z_DIM,))
+    variables = gen.init({"params": key, "gumbel": key}, gb, z, deterministic=True)
+    want, _, _ = gen.apply(variables, gb, z, deterministic=True, rngs={"gumbel": key})
+
+    apply_sp = sp.sp_generator_apply(gen, sp_mesh)
+    got, _, _ = apply_sp(variables["params"], gb, z, key)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-4, atol=1e-5)
