@@ -53,6 +53,10 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                    help="crash-recovery checkpoint every N epochs (CKPT_LATEST_INTERVAL; 0 = off)")
     p.add_argument("--pack-gemms", action="store_true",
                    help="fold narrow GEMMs into MXU lanes (PACK_NARROW_GEMMS, ops/gemm_pack.py)")
+    p.add_argument("--hourglass-min-channels", type=int, default=None,
+                   help="clamp the hourglass channel halving at this floor "
+                        "(HOURGLASS_MIN_CHANNELS; 1 = reference schedule — "
+                        "changes parameter shapes, re-validate quality)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend BEFORE init (some hosts ignore "
                         "JAX_PLATFORMS via sitecustomize; jax.config is authoritative)")
@@ -111,6 +115,8 @@ def _build_config(args, sanity: bool = False):
         overrides["CKPT_LATEST_INTERVAL"] = args.ckpt_latest_interval
     if getattr(args, "pack_gemms", False):
         overrides["PACK_NARROW_GEMMS"] = True
+    if getattr(args, "hourglass_min_channels", None) is not None:
+        overrides["HOURGLASS_MIN_CHANNELS"] = args.hourglass_min_channels
     return cfg.replace(**overrides) if overrides else cfg
 
 

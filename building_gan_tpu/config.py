@@ -271,6 +271,17 @@ class Configuration:
     # passes.  A/B on v5e-1 at the bench workload: see docs/PERF.md §14.
     PACK_NARROW_GEMMS: bool = False
 
+    # Clamp the hourglass channel halving at this floor (1 = the reference
+    # schedule, models.py:68-90: 128->64->...->1->...->128).  The round-4
+    # re-profile (docs/PERF.md §13.3) measured the step's GEMMs 7.5x above
+    # their MXU floor because the tail's <=64-channel layers under-fill
+    # 128x128 MXU tiles; a floor of e.g. 32 or 128 widens the bottleneck
+    # instead of folding rows (PACK_NARROW_GEMMS) — MORE capacity at near-zero
+    # marginal MXU cost, but a DIFFERENT architecture (parameter shapes
+    # change): opt-in, quality must be re-validated per TRAINING.md's assay
+    # before it can default.
+    HOURGLASS_MIN_CHANNELS: int = 1
+
     # Dtype for the critic INSIDE the gradient-penalty branch (the term that
     # is differentiated twice).  "compute" follows COMPUTE_DTYPE; "float32"
     # runs just that one critic application in f32 while everything else

@@ -57,6 +57,7 @@ class VoxelGNNDiscriminator(nn.Module):
             repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
+            min_channels=cfg.HOURGLASS_MIN_CHANNELS,
             dtype=dtype,
             name="encoder",
         )(

@@ -240,6 +240,23 @@ GRID_CONV_REGISTRY = {
 }
 
 
+def hourglass_channels(hidden_dim: int, repeat: int, min_channels: int = 1) -> list[int]:
+    """The hourglass channel schedule (reference models.py:68-90): ``repeat``
+    halvings then ``repeat`` doublings, each entry clamped at
+    ``min_channels`` (config.HOURGLASS_MIN_CHANNELS; 1 = reference-exact).
+    The final entry always recovers ``hidden_dim`` since doubling ends there.
+    """
+    channels = []
+    c = hidden_dim
+    for _ in range(repeat):
+        c //= 2
+        channels.append(max(c, min_channels))
+    for _ in range(repeat):
+        c *= 2
+        channels.append(max(c, min_channels))
+    return channels
+
+
 class GridHourglass(nn.Module):
     """Hourglass stencil-conv stack; params match `layers.HourglassGNN`."""
 
@@ -250,6 +267,7 @@ class GridHourglass(nn.Module):
     batch_level_graphnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     pack: bool = False
+    min_channels: int = 1  # config.HOURGLASS_MIN_CHANNELS
 
     @nn.compact
     def __call__(
@@ -267,14 +285,7 @@ class GridHourglass(nn.Module):
             mask = mask.reshape(B, -1)
             gid = None if gid is None else gid.reshape(B, -1)
         conv_cls = GRID_CONV_REGISTRY[self.conv_type]
-        channels = []
-        c = self.hidden_dim
-        for _ in range(self.repeat):
-            c //= 2
-            channels.append(c)
-        for _ in range(self.repeat):
-            c *= 2
-            channels.append(c)
+        channels = hourglass_channels(self.hidden_dim, self.repeat, self.min_channels)
 
         for i, ch in enumerate(channels):
             x = conv_cls(features=ch, dtype=self.dtype, pack=self.pack, name=f"conv_{i}")(

@@ -101,6 +101,7 @@ class GridVoxelGNNGenerator(nn.Module):
             repeat=cfg.GENERATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
+            min_channels=cfg.HOURGLASS_MIN_CHANNELS,
             dtype=dtype,
             pack=pack,
             name="encoder",
@@ -170,6 +171,7 @@ class GridVoxelGNNDiscriminator(nn.Module):
             repeat=cfg.DISCRIMINATOR_ENCODER_REPEAT,
             dropout_rate=cfg.ENCODER_DROPOUT_RATE,
             batch_level_graphnorm=cfg.BATCH_LEVEL_GRAPHNORM,
+            min_channels=cfg.HOURGLASS_MIN_CHANNELS,
             dtype=dtype,
             pack=pack,
             name="encoder",

@@ -224,18 +224,14 @@ class HourglassGNN(nn.Module):
     dropout_rate: float = 0.2
     batch_level_graphnorm: bool = False  # quirk Q5 parity flag
     dtype: jnp.dtype = jnp.float32
+    min_channels: int = 1  # config.HOURGLASS_MIN_CHANNELS (twin of grid path)
 
     @nn.compact
     def __call__(self, x, src, dst, edge_mask, graph_id, num_graphs, node_mask, deterministic: bool):
+        from .grid_layers import hourglass_channels
+
         conv_cls = get_conv(self.conv_type)
-        channels = []
-        c = self.hidden_dim
-        for _ in range(self.repeat):
-            c //= 2
-            channels.append(c)
-        for _ in range(self.repeat):
-            c *= 2
-            channels.append(c)
+        channels = hourglass_channels(self.hidden_dim, self.repeat, self.min_channels)
 
         seg_ids = None if self.batch_level_graphnorm else graph_id
         n_seg = None if self.batch_level_graphnorm else num_graphs

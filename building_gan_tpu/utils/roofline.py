@@ -112,15 +112,11 @@ def _gat_layer(cin: int, cout: int, K: int, dropout: bool = True) -> Work:
     return w
 
 
-def _hourglass_channels(hidden: int, repeat: int) -> list:
-    chans, c = [], hidden
-    for _ in range(repeat):
-        c //= 2
-        chans.append(c)
-    for _ in range(repeat):
-        c *= 2
-        chans.append(c)
-    return chans
+def _hourglass_channels(hidden: int, repeat: int, min_channels: int = 1) -> list:
+    # single source of truth with the model (incl. HOURGLASS_MIN_CHANNELS)
+    from ..models.grid_layers import hourglass_channels
+
+    return hourglass_channels(hidden, repeat, min_channels)
 
 
 def generator_fwd_work(cfg) -> Work:
@@ -145,7 +141,7 @@ def generator_fwd_work(cfg) -> Work:
         w += _dense(g, g)
     # hourglass
     c = g
-    for ch in _hourglass_channels(g, cfg.GENERATOR_ENCODER_REPEAT):
+    for ch in _hourglass_channels(g, cfg.GENERATOR_ENCODER_REPEAT, getattr(cfg, 'HOURGLASS_MIN_CHANNELS', 1)):
         w += _gat_layer(c, ch, K)
         c = ch
     # decoder: concat 524 -> 128,64,32,16 -> 7
@@ -180,7 +176,7 @@ def discriminator_fwd_work(cfg) -> Work:
     w += _dense(d, d, norm_act=False)
     w.vpu_ops += d
     c = d
-    for ch in _hourglass_channels(d, cfg.DISCRIMINATOR_ENCODER_REPEAT):
+    for ch in _hourglass_channels(d, cfg.DISCRIMINATOR_ENCODER_REPEAT, getattr(cfg, 'HOURGLASS_MIN_CHANNELS', 1)):
         w += _gat_layer(c, ch, K)
         c = ch
     for feat in (d // 2, d // 4, d // 8):

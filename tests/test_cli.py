@@ -88,6 +88,7 @@ def test_build_config_flag_mapping():
         ckpt_latest_interval=25,
         slot_graphs=6,
         grid_local_nodes=448,
+        hourglass_min_channels=32,
     )
     cfg = _build_config(args)
     assert cfg.GRID_BUCKETS == ((6, 6, 6), (11, 12, 12))
@@ -95,3 +96,4 @@ def test_build_config_flag_mapping():
     assert cfg.CKPT_LATEST_INTERVAL == 25
     assert cfg.GRID_SLOT_GRAPHS == 6
     assert cfg.GRID_LOCAL_NODES == 448
+    assert cfg.HOURGLASS_MIN_CHANNELS == 32
