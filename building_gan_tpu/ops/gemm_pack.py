@@ -51,12 +51,20 @@ def _passes(m: int, cin: int, n: int, k: int) -> int:
     return (m // k) * math.ceil(k * cin / _LANE) * math.ceil(k * n / _LANE)
 
 
+# Every planning decision made this process, keyed "(m,cin,n)" -> chosen k
+# (with the modeled pass counts) — exported into the bench artifact so a
+# disappointing PACK_NARROW_GEMMS measurement says WHICH folds it chose
+# (VERDICT r4 weak #5).
+PLANNED: dict[str, dict] = {}
+
+
 @functools.lru_cache(maxsize=None)
 def plan_pack(m: int, cin: int, n: int) -> int:
     """Best fold factor k (divisor of m, 1 = don't pack) for a (m,cin)@(cin,n)
     GEMM under the MXU-pass model.  Requires a strict >=2x win: marginal
     folds don't justify the activation relayout the reshape implies."""
     if cin >= _LANE and n >= _LANE:
+        PLANNED[f"({m},{cin},{n})"] = {"k": 1, "reason": "wide"}
         return 1
     base = _passes(m, cin, n, 1)
     best_k, best_cost = 1, base
@@ -67,7 +75,14 @@ def plan_pack(m: int, cin: int, n: int) -> int:
         if c < best_cost:
             best_k, best_cost = k, c
     if best_cost * 2 > base:
+        PLANNED[f"({m},{cin},{n})"] = {
+            "k": 1, "reason": "win<2x", "passes_k1": base, "best_k": best_k,
+            "passes_best": best_cost,
+        }
         return 1
+    PLANNED[f"({m},{cin},{n})"] = {
+        "k": best_k, "passes_k1": base, "passes_k": best_cost,
+    }
     return best_k
 
 
