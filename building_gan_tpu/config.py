@@ -268,7 +268,10 @@ class Configuration:
     # §13.3 item "convolution fusion").  Packing applies kron(I_k, W)
     # block-diagonal weights over view-reshaped (M/k, k*c) activations —
     # identical math (off-diagonal blocks are exact zeros), ~k x fewer MXU
-    # passes.  A/B on v5e-1 at the bench workload: see docs/PERF.md §14.
+    # passes.  MEASURED NEGATIVE on v5e-1 (docs/PERF.md §14.1,
+    # docs/baselines/ab_r5_pack.json): 533k vs 877k nodes/s — the fold's
+    # reshape is a real relayout of lane-padded narrow activations and
+    # breaks GEMM-prologue fusion; stays default-OFF.
     PACK_NARROW_GEMMS: bool = False
 
     # Clamp the hourglass channel halving at this floor (1 = the reference

@@ -32,6 +32,7 @@ def prepare(params: dict, cfg: Configuration):
         jax.device_get(params["encoder"]),
         cfg.GENERATOR_HIDDEN_DIM,
         cfg.GENERATOR_ENCODER_REPEAT,
+        min_channels=cfg.HOURGLASS_MIN_CHANNELS,
     )
     return {"Ws": Ws, "atts": atts, "vecs": vecs}
 
@@ -67,6 +68,7 @@ def infer(
         x, batch.mask, packed["Ws"], packed["atts"], packed["vecs"],
         hidden_dim=cfg.GENERATOR_HIDDEN_DIM, repeat=cfg.GENERATOR_ENCODER_REPEAT,
         tile=tile, interpret=interpret, gid=batch.gid,
+        min_channels=cfg.HOURGLASS_MIN_CHANNELS,
     )
 
     final = jnp.concatenate([encoded, x, encoded_matched, batch.x, z], axis=-1)

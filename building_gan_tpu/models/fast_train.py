@@ -33,19 +33,23 @@ from ..config import Configuration, NUM_CLASSES
 from ..ops.gumbel import gumbel_softmax_st
 from ..ops.pallas.gat_train import (
     build_planes,
-    hourglass_channels,
+    hourglass_channel_pairs,
     hourglass_train,
 )
 from .grid_layers import grid_type_matched_pooling
 from .layers import MLPBlock
 
 
-def pack_gat_weights_jnp(enc_params: dict, hidden_dim: int, repeat: int):
+def pack_gat_weights_jnp(
+    enc_params: dict, hidden_dim: int, repeat: int, min_channels: int = 1
+):
     """Differentiable (L, Cmax, ...) packing of a GridHourglass param subtree.
 
     Zero-padded exactly like `ops.pallas.hourglass.pack_gat_weights`, but in
-    jnp so gradients flow back to the individual layer parameters."""
-    chans = hourglass_channels(hidden_dim, repeat)
+    jnp so gradients flow back to the individual layer parameters.
+    ``min_channels`` must match the flax stack's (ADVICE r4: a mismatched
+    schedule pads/slices against the wrong per-layer shapes)."""
+    chans = hourglass_channel_pairs(hidden_dim, repeat, min_channels)
     cmax = max(max(ci, co) for ci, co in chans)
     Ws, atts, vecs = [], [], []
     for l, (ci, co) in enumerate(chans):
@@ -92,8 +96,9 @@ def _fused_hourglass(
     key,
     tile,
     interpret,
+    min_channels=1,
 ):
-    Ws, atts, vecs = pack_gat_weights_jnp(enc_params, hidden_dim, repeat)
+    Ws, atts, vecs = pack_gat_weights_jnp(enc_params, hidden_dim, repeat, min_channels)
     L = Ws.shape[0]
     if deterministic or key is None:
         seeds = jnp.zeros((L,), jnp.int32)
@@ -153,6 +158,7 @@ def generator_apply_fused(
         params["encoder"], x, planes, grid_shape, K,
         cfg.GENERATOR_HIDDEN_DIM, cfg.GENERATOR_ENCODER_REPEAT,
         cfg.ENCODER_DROPOUT_RATE, deterministic, key_dropout, tile, interpret,
+        min_channels=cfg.HOURGLASS_MIN_CHANNELS,
     ).astype(dtype)
 
     final = jnp.concatenate([encoded, x, encoded_matched, voxel_x, z], axis=-1)
@@ -215,6 +221,7 @@ def discriminator_apply_fused(
         params["encoder"], x, planes, grid_shape, K,
         cfg.DISCRIMINATOR_HIDDEN_DIM, cfg.DISCRIMINATOR_ENCODER_REPEAT,
         cfg.ENCODER_DROPOUT_RATE, deterministic, key_dropout, tile, interpret,
+        min_channels=cfg.HOURGLASS_MIN_CHANNELS,
     ).astype(dtype)
 
     d = cfg.DISCRIMINATOR_HIDDEN_DIM

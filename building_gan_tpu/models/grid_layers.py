@@ -245,7 +245,19 @@ def hourglass_channels(hidden_dim: int, repeat: int, min_channels: int = 1) -> l
     halvings then ``repeat`` doublings, each entry clamped at
     ``min_channels`` (config.HOURGLASS_MIN_CHANNELS; 1 = reference-exact).
     The final entry always recovers ``hidden_dim`` since doubling ends there.
+
+    ``min_channels`` must lie in [1, hidden_dim]: above ``hidden_dim`` the
+    clamp would also widen the recovery tail, so the stack would exit at
+    ``min_channels`` features and break every caller that reshapes back to
+    ``hidden_dim`` (ADVICE r4).  This is THE schedule — the fused Pallas
+    packing derives its (C_in, C_out) pairs from it
+    (`ops.pallas.hourglass.hourglass_channel_pairs`).
     """
+    if not 1 <= min_channels <= hidden_dim:
+        raise ValueError(
+            f"HOURGLASS_MIN_CHANNELS must be in [1, hidden_dim={hidden_dim}], "
+            f"got {min_channels}"
+        )
     channels = []
     c = hidden_dim
     for _ in range(repeat):

@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hourglass import hourglass_channels, pack_gat_weights  # noqa: F401 (re-export)
+from .hourglass import hourglass_channel_pairs, pack_gat_weights  # noqa: F401 (re-export)
 
 _NEG_INF = -1e30
 

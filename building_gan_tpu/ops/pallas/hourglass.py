@@ -39,22 +39,26 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def hourglass_channels(hidden_dim: int, repeat: int) -> List[Tuple[int, int]]:
-    """(C_in, C_out) per layer of the hourglass (reference models.py:68-90)."""
-    out = []
-    c = hidden_dim
-    for _ in range(repeat):
-        out.append((c, c // 2))
-        c //= 2
-    for _ in range(repeat):
-        out.append((c, c * 2))
-        c *= 2
-    return out
+def hourglass_channel_pairs(
+    hidden_dim: int, repeat: int, min_channels: int = 1
+) -> List[Tuple[int, int]]:
+    """(C_in, C_out) per layer of the hourglass (reference models.py:68-90).
+
+    Derived from THE schedule (`models.grid_layers.hourglass_channels`,
+    min_channels-aware) so fused-kernel weight packing can never drift from
+    the flax stack it mirrors (ADVICE r4: two same-named schedules invited a
+    silent reference-only import)."""
+    from ...models.grid_layers import hourglass_channels
+
+    ch = hourglass_channels(hidden_dim, repeat, min_channels)
+    return list(zip([hidden_dim] + ch[:-1], ch))
 
 
-def pack_gat_weights(encoder_params: dict, hidden_dim: int, repeat: int):
+def pack_gat_weights(
+    encoder_params: dict, hidden_dim: int, repeat: int, min_channels: int = 1
+):
     """Flax GridHourglass param subtree -> (Ws, atts, vecs) padded arrays."""
-    chans = hourglass_channels(hidden_dim, repeat)
+    chans = hourglass_channel_pairs(hidden_dim, repeat, min_channels)
     L = len(chans)
     cmax = max(max(ci, co) for ci, co in chans)
     Ws = np.zeros((L, cmax, cmax), np.float32)
@@ -182,6 +186,7 @@ def hourglass_fwd(
     eps: float = 1e-5,
     interpret: bool = False,
     gid: jnp.ndarray | None = None,  # (B, F, Y, X) building id (cell packing)
+    min_channels: int = 1,  # config.HOURGLASS_MIN_CHANNELS
 ) -> jnp.ndarray:
     """Fused deterministic hourglass forward over a grid batch.
 
@@ -192,7 +197,7 @@ def hourglass_fwd(
 
     b, f, y, xx, c0 = x.shape
     r = f * y * xx
-    chans = tuple(hourglass_channels(hidden_dim, repeat))
+    chans = tuple(hourglass_channel_pairs(hidden_dim, repeat, min_channels))
     c_last = chans[-1][1]
     cmax = max(max(ci, co) for ci, co in chans)
     assert c0 == cmax and c_last == cmax, (

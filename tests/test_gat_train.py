@@ -140,8 +140,13 @@ def test_fused_layer_dropout_deterministic_and_consistent():
     assert np.isclose(fd, want, rtol=2e-2), (fd, want)
 
 
-def test_generator_apply_fused_matches_flax(synthetic_samples, small_cfg):
-    """Full fused generator forward (deterministic) == GridVoxelGNNGenerator."""
+@pytest.mark.parametrize("min_ch", [1, 8])
+def test_generator_apply_fused_matches_flax(synthetic_samples, small_cfg, min_ch):
+    """Full fused generator forward (deterministic) == GridVoxelGNNGenerator.
+
+    min_ch=8 pins the ADVICE r4 fix: the fused packing must follow the
+    min_channels-clamped schedule, not the reference-only one (which crashed
+    with pad/slice shape mismatches)."""
     from test_train import tiny_cfg
 
     from building_gan_tpu.data import grid as gridlib
@@ -155,6 +160,7 @@ def test_generator_apply_fused_matches_flax(synthetic_samples, small_cfg):
         GRID_LOCAL_NODES=64,
         GRID_SLOT_GRAPHS=1,
         COMPUTE_DTYPE="float32",
+        HOURGLASS_MIN_CHANNELS=min_ch,
     )
     samples = [s for s in synthetic_samples if int(s[1].location[:, 0].max()) < 8][:2]
     gb = gridlib.pack_grid(samples, cfg)

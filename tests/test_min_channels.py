@@ -28,12 +28,22 @@ class TestSchedule:
         assert hourglass_channels(128, 7, 32) == [
             64, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 32, 64, 128,
         ]
-        # clamp above hidden//2 flattens everything but the recovery tail
-        assert hourglass_channels(64, 3, 128) == [128, 128, 128, 128, 128, 128]
+        # clamp at hidden_dim flattens the whole stack (still exits at hidden)
+        assert hourglass_channels(64, 3, 64) == [64, 64, 64, 64, 64, 64]
+
+    def test_out_of_range_min_channels_rejected(self):
+        # > hidden_dim would widen the recovery tail and break the hidden_dim
+        # exit every caller reshapes against (ADVICE r4); <= 0 is nonsense
+        with pytest.raises(ValueError):
+            hourglass_channels(64, 3, 128)
+        with pytest.raises(ValueError):
+            hourglass_channels(64, 3, 0)
+        with pytest.raises(ValueError):
+            hourglass_channels(64, 3, -2)
 
     def test_last_entry_recovers_hidden_dim(self):
-        for hidden, repeat, mc in [(128, 7, 1), (128, 7, 32), (64, 3, 16)]:
-            assert hourglass_channels(hidden, repeat, mc)[-1] == max(hidden, mc)
+        for hidden, repeat, mc in [(128, 7, 1), (128, 7, 32), (64, 3, 16), (64, 3, 64)]:
+            assert hourglass_channels(hidden, repeat, mc)[-1] == hidden
 
 
 def _tiny_cfg(**kw):

@@ -12,7 +12,7 @@ import pytest
 from building_gan_tpu.data import grid as gridlib
 from building_gan_tpu.models.grid_layers import GridHourglass
 from building_gan_tpu.ops.pallas.hourglass import (
-    hourglass_channels,
+    hourglass_channel_pairs,
     hourglass_fwd,
     pack_gat_weights,
 )
@@ -20,13 +20,26 @@ from building_gan_tpu.ops.pallas.hourglass import (
 from test_train import tiny_cfg
 
 
-def test_hourglass_channels():
-    chans = hourglass_channels(128, 7)
+def test_hourglass_channel_pairs():
+    chans = hourglass_channel_pairs(128, 7)
     assert chans[0] == (128, 64)
     assert chans[6] == (2, 1)
     assert chans[7] == (1, 2)
     assert chans[-1] == (64, 128)
     assert len(chans) == 14
+
+
+def test_hourglass_channel_pairs_track_the_shared_schedule():
+    """The fused packing pairs must be the zip of THE min_channels-aware
+    schedule (models.grid_layers.hourglass_channels) — ADVICE r4: a second
+    same-named schedule invited a silent reference-only import."""
+    from building_gan_tpu.models.grid_layers import hourglass_channels
+
+    for hidden, repeat, mc in [(128, 7, 1), (128, 7, 8), (64, 3, 16), (64, 3, 64)]:
+        ch = hourglass_channels(hidden, repeat, mc)
+        pairs = hourglass_channel_pairs(hidden, repeat, mc)
+        assert pairs == list(zip([hidden] + ch[:-1], ch))
+        assert pairs[0][0] == hidden and pairs[-1][1] == hidden
 
 
 def test_fused_hourglass_parity(synthetic_samples, small_cfg):
