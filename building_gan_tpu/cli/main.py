@@ -49,6 +49,10 @@ def _add_config_overrides(p: argparse.ArgumentParser) -> None:
                         "with --slot-graphs bin packing)")
     p.add_argument("--device-resident", action="store_true",
                    help="pack once + keep batches on device across epochs (DEVICE_RESIDENT_DATA)")
+    p.add_argument("--device-resident-compositions", type=int, default=None,
+                   help="with --device-resident: pre-pack N distinct batch "
+                        "compositions and cycle one per epoch "
+                        "(DEVICE_RESIDENT_COMPOSITIONS; 1 = frozen composition)")
     p.add_argument("--ckpt-latest-interval", type=int, default=None,
                    help="crash-recovery checkpoint every N epochs (CKPT_LATEST_INTERVAL; 0 = off)")
     p.add_argument("--pack-gemms", action="store_true",
@@ -111,6 +115,8 @@ def _build_config(args, sanity: bool = False):
         )
     if getattr(args, "device_resident", False):
         overrides["DEVICE_RESIDENT_DATA"] = True
+    if getattr(args, "device_resident_compositions", None) is not None:
+        overrides["DEVICE_RESIDENT_COMPOSITIONS"] = args.device_resident_compositions
     if getattr(args, "ckpt_latest_interval", None) is not None:
         overrides["CKPT_LATEST_INTERVAL"] = args.ckpt_latest_interval
     if getattr(args, "pack_gemms", False):

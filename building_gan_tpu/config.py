@@ -195,6 +195,15 @@ class Configuration:
     # epoch runs at reference scale.  Costs device HBM (~25 MB per packed
     # 512-building batch) and the per-epoch composition reshuffle.
     DEVICE_RESIDENT_DATA: bool = False
+    # With DEVICE_RESIDENT_DATA: number of distinct batch COMPOSITIONS to
+    # pre-pack and keep on device, cycled one per epoch.  1 = the round-4
+    # behavior (composition frozen after epoch 1 — the reference reshuffles
+    # composition per epoch, `building_gan/src/data.py:177-210`); P > 1
+    # restores composition variety with period P at zero steady-state
+    # transfers, costing P x the dataset's device HBM (~450 MB per
+    # composition at ref10k scale on a 16 GB chip).  Batch ORDER still
+    # reshuffles every epoch in either case.
+    DEVICE_RESIDENT_COMPOSITIONS: int = 1
     # Periodic crash-recovery checkpoint every N epochs (states_latest.*),
     # in addition to the reference's best-F1-gated save.  0 = off (the
     # reference-parity default).  On resume the trainer prefers whichever

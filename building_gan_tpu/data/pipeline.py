@@ -149,7 +149,9 @@ class PackedLoader:
         self.rng = np.random.default_rng(seed)
         self.n_device_batches = n_device_batches
         self.device_resident = bool(getattr(cfg, "DEVICE_RESIDENT_DATA", False))
-        self._device_epoch: Optional[list] = None  # device-put packed batches
+        # device-put packed epochs: P distinct compositions, cycled per epoch
+        self._device_epochs: Optional[list] = None
+        self._epoch_counter = 0
         if cfg.LAYOUT == "grid":
             from . import grid as gridlib
 
@@ -230,19 +232,29 @@ class PackedLoader:
 
     def __iter__(self):
         if self.device_resident:
-            # Freeze composition after the first epoch; reshuffle only the
-            # batch order.  No host->device transfer after warmup — see
-            # cfg.DEVICE_RESIDENT_DATA for why (tunnel-client host-RAM leak
-            # per transfer + per-step transfer latency).
-            if self._device_epoch is None:
+            # Pre-pack P distinct batch compositions at warmup and cycle one
+            # per epoch; reshuffle only the batch order afterwards.  No
+            # host->device transfer after warmup — see cfg.DEVICE_RESIDENT_DATA
+            # for why (tunnel-client host-RAM leak per transfer + per-step
+            # transfer latency).  P = DEVICE_RESIDENT_COMPOSITIONS: 1 freezes
+            # composition (round-4 behavior); >1 approximates the reference's
+            # per-epoch composition reshuffle (data.py:177-210) with period P.
+            if self._device_epochs is None:
                 import jax
 
-                self._device_epoch = [jax.device_put(b) for b in self._iter_host()]
-            order = np.arange(len(self._device_epoch))
+                P = max(int(getattr(self.cfg, "DEVICE_RESIDENT_COMPOSITIONS", 1)), 1)
+                self._device_epochs = [
+                    [jax.device_put(b) for b in self._iter_host()] for _ in range(P)
+                ]
+            epoch = self._device_epochs[
+                self._epoch_counter % len(self._device_epochs)
+            ]
+            self._epoch_counter += 1
+            order = np.arange(len(epoch))
             if self.shuffle:
                 self.rng.shuffle(order)
             for i in order:
-                yield self._device_epoch[i]
+                yield epoch[i]
             return
         yield from self._iter_host()
 

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--ckpt-latest-interval", type=int, default=25,
                     help="crash-recovery checkpoint every N epochs (0 = off; "
                          "best-gated saves always on)")
+    ap.add_argument("--device-resident-compositions", type=int, default=1,
+                    help="with --device-resident: pre-pack N distinct batch "
+                         "compositions, cycled per epoch (1 = frozen)")
     ap.add_argument("--device-resident", action="store_true",
                     help="pack once + keep batches on device (long runs on the "
                          "tunneled backend: avoids its per-transfer host-RAM leak)")
@@ -63,6 +66,7 @@ def main():
         BATCH_LEVEL_GRAPHNORM=args.batch_level_quirks,
         PRNG_IMPL=args.prng,
         DEVICE_RESIDENT_DATA=args.device_resident,
+        DEVICE_RESIDENT_COMPOSITIONS=args.device_resident_compositions,
         CKPT_LATEST_INTERVAL=args.ckpt_latest_interval,
         **({"COMPUTE_DTYPE": args.compute_dtype} if args.compute_dtype else {}),
         **({"GP_DTYPE": args.gp_dtype} if args.gp_dtype else {}),
