@@ -36,6 +36,30 @@ def test_floor_positive_and_consistent(cfg):
     )
 
 
+def test_realistic_floor_brackets_the_optimistic_one(cfg):
+    """Two-sided ceiling (VERDICT r4 weak #1): the realistic floor counts
+    MORE HBM than the optimistic one and can only slow the attainable rate;
+    together they bracket the true ceiling."""
+    out = R.attainable(cfg, CELLS, REAL_NODES)
+    assert out["t_hbm_realistic_ms"] > out["t_hbm_ms"]
+    # stencil re-reads + norm passes: the undercount was estimated 2-3x
+    assert 1.5 < out["t_hbm_realistic_ms"] / out["t_hbm_ms"] < 4.0
+    assert out["floor_realistic_ms"] >= out["floor_ms"]
+    assert (
+        out["attainable_realistic_nodes_per_sec"]
+        <= out["attainable_nodes_per_sec"]
+    )
+    # serial-compute model: MXU + VPU bars add (one fused op at a time on a
+    # TPU core); HBM overlaps under compute
+    assert out["floor_realistic_ms"] == pytest.approx(
+        max(
+            out["t_mxu_ms"] + out["t_vpu_ms"] + out["t_trans_ms"],
+            out["t_hbm_realistic_ms"],
+        ),
+        abs=0.03,
+    )
+
+
 def test_floor_scales_linearly_with_cells(cfg):
     a = R.attainable(cfg, CELLS, REAL_NODES)
     b = R.attainable(cfg, 2 * CELLS, REAL_NODES)
