@@ -49,11 +49,13 @@ def test_realistic_floor_brackets_the_optimistic_one(cfg):
         out["attainable_realistic_nodes_per_sec"]
         <= out["attainable_nodes_per_sec"]
     )
-    # serial-compute model: MXU + VPU bars add (one fused op at a time on a
-    # TPU core); HBM overlaps under compute
+    # serial-compute model: GEMM time (max of MXU bar and the GEMMs' own
+    # activation stream) adds to the VPU bar (one fused op at a time on a
+    # TPU core); only async prefetch HBM overlaps
+    assert out["t_gemm_serial_ms"] >= out["t_mxu_ms"]
     assert out["floor_realistic_ms"] == pytest.approx(
         max(
-            out["t_mxu_ms"] + out["t_vpu_ms"] + out["t_trans_ms"],
+            out["t_gemm_serial_ms"] + out["t_vpu_ms"] + out["t_trans_ms"],
             out["t_hbm_realistic_ms"],
         ),
         abs=0.03,
