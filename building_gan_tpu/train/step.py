@@ -229,11 +229,16 @@ def make_train_step(
                 # per-graph F1 distribution survives sharding: counts psum
                 # exactly (reference logs the per-graph list, trainer.py:418-441)
                 "per_graph_f1_hist": jax.lax.psum(m["per_graph_f1_hist"], axis_name),
+                # epoch CM sums on the host -> per-class recall TB tags
+                "confusion_matrix": cm,
             }
         else:
             m = {
                 k: m[k]
-                for k in ("f1", "f1_min", "precision", "recall", "accuracy", "per_graph_f1_hist")
+                for k in (
+                    "f1", "f1_min", "precision", "recall", "accuracy",
+                    "per_graph_f1_hist", "confusion_matrix",
+                )
             }
 
         metrics = {
@@ -311,6 +316,7 @@ def make_eval_step(cfg: Configuration, gen, disc, axis_name: Optional[str] = Non
                 "recall": scores["recall"],
                 "accuracy": scores["accuracy"],
                 "per_graph_f1_hist": jax.lax.psum(m["per_graph_f1_hist"], axis_name),
+                "confusion_matrix": cm,
             }
         return {
             "g_loss": g_loss,
@@ -318,6 +324,7 @@ def make_eval_step(cfg: Configuration, gen, disc, axis_name: Optional[str] = Non
             **{k: m[k] for k in ("f1", "f1_min", "precision", "recall", "accuracy")},
             "per_graph_f1": m["per_graph_f1"],
             "per_graph_f1_hist": m["per_graph_f1_hist"],
+            "confusion_matrix": m["confusion_matrix"],
         }
 
     return eval_step

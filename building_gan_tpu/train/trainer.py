@@ -159,14 +159,17 @@ class Trainer:
         sums = defaultdict(float)
         f1_min = np.inf
         hist = 0.0
+        cm = 0.0
         for metrics in per_batch:
             for k in ("g_loss", "d_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
             hist = hist + np.asarray(metrics.get("per_graph_f1_hist", 0.0))
+            cm = cm + np.asarray(metrics.get("confusion_matrix", 0.0))
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
         out["f1_hist"] = hist  # epoch-summed per-graph F1 histogram (psum-exact)
+        out["cm"] = cm  # epoch-summed 7x7 confusion matrix
         return out
 
     @runtime_calculator
@@ -186,14 +189,17 @@ class Trainer:
         sums = defaultdict(float)
         f1_min = np.inf
         hist = 0.0
+        cm = 0.0
         for metrics in per_batch:
             for k in ("g_loss", "f1", "precision", "recall", "accuracy"):
                 sums[k] += float(metrics[k])
             f1_min = min(f1_min, float(metrics["f1_min"]))
             hist = hist + np.asarray(metrics.get("per_graph_f1_hist", 0.0))
+            cm = cm + np.asarray(metrics.get("confusion_matrix", 0.0))
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["f1_min"] = f1_min if np.isfinite(f1_min) else 0.0
         out["f1_hist"] = hist
+        out["cm"] = cm
         return out
 
     # ------------------------------------------------------------------
@@ -242,6 +248,26 @@ class Trainer:
             writer.add_scalar("recall_score_validation", va["recall"], epoch)
             writer.add_scalar("accuracy_score_train", tr["accuracy"], epoch)
             writer.add_scalar("accuracy_score_validation", va["accuracy"], epoch)
+
+            # per-class recall from the epoch-summed confusion matrix —
+            # beyond-reference observability: the test-split min-F1 is driven
+            # by single-voxel rare-class (MECHANICAL_ROOM) instances
+            # (docs/baselines/minf1_ref10k_*.json), so the rare-class recall
+            # trajectory is the metric that predicts it during training.
+            from ..config import PROGRAM_NAMES
+
+            for tag, d in (("train", tr), ("validation", va)):
+                cm = np.asarray(d.get("cm", 0.0))
+                if cm.ndim != 2:
+                    continue
+                support = cm.sum(axis=1)
+                for c, name in PROGRAM_NAMES.items():
+                    if support[c] > 0:
+                        writer.add_scalar(
+                            f"recall_{name.lower()}_{tag}",
+                            float(cm[c, c] / support[c]),
+                            epoch,
+                        )
 
             # per-graph F1 distribution (reference logs the per-graph list,
             # trainer.py:418-441; here min/p10/median + a TB histogram come
