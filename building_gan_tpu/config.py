@@ -258,7 +258,10 @@ class Configuration:
     # copy-done/async-done, docs/PERF.md §6) would vanish; MEASURED SLOWER on
     # v5e-1 at reference scale: 178 -> 197 ms/step (docs/PERF.md §7) — the
     # unrolled program holds more live buffers and schedules worse.  Kept as
-    # a knob for other scales; OFF by default.
+    # a knob for other scales; OFF by default.  Re-measured round 5 at the
+    # 161 ms step, where copy-done had grown to ~18%: still -30% (230.6 ms,
+    # docs/PERF.md §14.4) — the rolled loop's copies are the price of its
+    # good schedule, not recoverable waste.
     UNROLL_CRITIC: bool = False
 
     # Rematerialize the hourglass stacks in the backward passes: wrap each
@@ -291,7 +294,9 @@ class Configuration:
     # instead of folding rows (PACK_NARROW_GEMMS) — MORE capacity at near-zero
     # marginal MXU cost, but a DIFFERENT architecture (parameter shapes
     # change): opt-in, quality must be re-validated per TRAINING.md's assay
-    # before it can default.
+    # before it can default.  MEASURED round 5 (docs/PERF.md §14.4): min_ch=8
+    # is -0.8% vs default — the narrow tail's cost is its activation streams,
+    # not MXU tile fill, so no quality arm is warranted and 1 stays default.
     HOURGLASS_MIN_CHANNELS: int = 1
 
     # Dtype for the critic INSIDE the gradient-penalty branch (the term that
