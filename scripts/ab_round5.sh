@@ -1,4 +1,10 @@
 #!/usr/bin/env bash
+# SUPERSEDED (kept for the record): the battery RAN in round 5 — results in
+# docs/PERF.md §14.1-14.5 and docs/baselines/ab_r5_*.json.  Note arm 2's
+# BENCH_XLA_OPT double-buffering option does NOT EXIST in this backend's
+# compiler (§14.3, probe: scripts/probe_compiler_options.py) — running this
+# script verbatim will loop on that arm forever.
+#
 # Round-5 lever A/B battery (docs/PERF.md §13.3): capture, over a FLICKERING
 # tunneled backend (TRAINING.md post-mortem; r5 observed 90s-probe-ok
 # followed by 240s-probe-hang minutes later),
